@@ -1,0 +1,154 @@
+"""Rotation-representation conversions, pure-jnp and fully vmappable.
+
+Provides the subset of conversions the TalkSHOW pipeline relies on
+(reference: data_utils/rotation_conversion.py:37-551), re-derived from the
+standard quaternion/Rodrigues identities so every function is a closed-form
+jnp expression (no data-dependent control flow) and jit/vmap/grad-safe on TPU.
+
+Conventions (identical to the reference / pytorch3d):
+  - quaternions are (..., 4) with real part first (w, x, y, z)
+  - matrices are (..., 3, 3), row-major, acting on column vectors
+  - axis-angle is (..., 3): axis * angle (radians)
+  - 6d representation is the first two ROWS of the rotation matrix,
+    flattened (..., 6)  [Zhou et al. CVPR'19]
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(max(0, x)) with a subgradient of zero where x <= 0."""
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def quaternion_to_matrix(quaternions: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (..., 4) (w,x,y,z) -> rotation matrix (..., 3, 3)."""
+    w, x, y, z = jnp.split(quaternions, 4, axis=-1)
+    two_s = 2.0 / jnp.sum(quaternions * quaternions, axis=-1, keepdims=True)
+
+    o = jnp.stack(
+        [
+            (1 - two_s * (y * y + z * z))[..., 0],
+            (two_s * (x * y - z * w))[..., 0],
+            (two_s * (x * z + y * w))[..., 0],
+            (two_s * (x * y + z * w))[..., 0],
+            (1 - two_s * (x * x + z * z))[..., 0],
+            (two_s * (y * z - x * w))[..., 0],
+            (two_s * (x * z - y * w))[..., 0],
+            (two_s * (y * z + x * w))[..., 0],
+            (1 - two_s * (x * x + y * y))[..., 0],
+        ],
+        axis=-1,
+    )
+    return o.reshape(quaternions.shape[:-1] + (3, 3))
+
+
+def matrix_to_quaternion(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4) (w,x,y,z).
+
+    Branch-free reformulation of the standard four-candidate extraction:
+    all four candidate quaternions are computed and the numerically best
+    one (largest denominator) is selected with a one-hot weighted sum.
+    """
+    batch = matrix.shape[:-2]
+    m = matrix.reshape(batch + (9,))
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = [m[..., i] for i in range(9)]
+
+    q_abs = _sqrt_positive_part(
+        jnp.stack(
+            [
+                1.0 + m00 + m11 + m22,
+                1.0 + m00 - m11 - m22,
+                1.0 - m00 + m11 - m22,
+                1.0 - m00 - m11 + m22,
+            ],
+            axis=-1,
+        )
+    )
+
+    quat_by_rijk = jnp.stack(
+        [
+            jnp.stack([q_abs[..., 0] ** 2, m21 - m12, m02 - m20, m10 - m01], axis=-1),
+            jnp.stack([m21 - m12, q_abs[..., 1] ** 2, m10 + m01, m02 + m20], axis=-1),
+            jnp.stack([m02 - m20, m10 + m01, q_abs[..., 2] ** 2, m12 + m21], axis=-1),
+            jnp.stack([m10 - m01, m20 + m02, m21 + m12, q_abs[..., 3] ** 2], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 4, 4)
+
+    flr = jnp.asarray(0.1, dtype=matrix.dtype)
+    quat_candidates = quat_by_rijk / (2.0 * jnp.maximum(q_abs[..., None], flr))
+
+    best = jnp.argmax(q_abs, axis=-1)
+    onehot = jax_one_hot(best, 4, dtype=matrix.dtype)
+    out = jnp.sum(quat_candidates * onehot[..., None], axis=-2)
+    # canonical sign: non-negative real part
+    return jnp.where(out[..., :1] < 0, -out, out)
+
+
+def jax_one_hot(idx: jnp.ndarray, num: int, dtype=jnp.float32) -> jnp.ndarray:
+    iota = jnp.arange(num, dtype=idx.dtype)
+    return (idx[..., None] == iota).astype(dtype)
+
+
+def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> quaternion (..., 4), smooth at angle=0."""
+    angles = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    half = angles * 0.5
+    eps = 1e-6
+    small = jnp.abs(angles) < eps
+    # sin(x/2)/x ~ 1/2 - x^2/48 near zero
+    sin_half_over_angle = jnp.where(
+        small, 0.5 - (angles * angles) / 48.0, jnp.sin(half) / jnp.where(small, 1.0, angles)
+    )
+    return jnp.concatenate([jnp.cos(half), axis_angle * sin_half_over_angle], axis=-1)
+
+
+def quaternion_to_axis_angle(quaternions: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (..., 4) -> axis-angle (..., 3), smooth at angle=0."""
+    norms = jnp.linalg.norm(quaternions[..., 1:], axis=-1, keepdims=True)
+    half_angles = jnp.arctan2(norms, quaternions[..., :1])
+    angles = 2.0 * half_angles
+    eps = 1e-6
+    small = jnp.abs(angles) < eps
+    sin_half_over_angle = jnp.where(
+        small,
+        0.5 - (angles * angles) / 48.0,
+        jnp.sin(half_angles) / jnp.where(small, 1.0, angles),
+    )
+    return quaternions[..., 1:] / sin_half_over_angle
+
+
+def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) (via quaternion)."""
+    return quaternion_to_matrix(axis_angle_to_quaternion(axis_angle))
+
+
+def matrix_to_axis_angle(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3)."""
+    return quaternion_to_axis_angle(matrix_to_quaternion(matrix))
+
+
+def matrix_to_rotation_6d(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> 6d (first two rows flattened)."""
+    return matrix[..., :2, :].reshape(matrix.shape[:-2] + (6,))
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """6d (..., 6) -> rotation matrix (..., 3, 3) via Gram-Schmidt."""
+    a1 = d6[..., :3]
+    a2 = d6[..., 3:]
+    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True)
+    b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def axis_angle_to_rotation_6d(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    return matrix_to_rotation_6d(axis_angle_to_matrix(axis_angle))
+
+
+def rotation_6d_to_axis_angle(d6: jnp.ndarray) -> jnp.ndarray:
+    return matrix_to_axis_angle(rotation_6d_to_matrix(d6))

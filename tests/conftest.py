@@ -1,0 +1,19 @@
+"""Test config: run everything on an 8-device virtual CPU mesh.
+
+Must set XLA flags before jax initializes a backend, so this lives at the
+top of conftest (pytest imports it before any test module).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
