@@ -1,0 +1,103 @@
+"""Body/hand generator: compositional VQ-VAEs + audio-conditioned PixelCNN.
+
+Functional assembly of the reference's `s2g_body_pixel` stage
+(nets/smplx_body_pixel.py:25-77): two frozen VQ-VAEs (body 39ch, hand 90ch,
+codebook 2048x64), an MFCC AudioEncoder (64 -> 256ch, T -> T/4) and a
+15-layer gated PixelCNN over the (T/4, 2) token grid.
+
+`BodyModels` is a plain pytree-of-params container; generation is a pure
+function so it jits/vmaps cleanly and the PixelCNN decode runs as a cached
+lax.scan (models/pixelcnn.py).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from talkshow_tpu.models.pixelcnn import GatedPixelCNN, sample_tokens
+from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
+from talkshow_tpu.ops import vq as vq_ops
+from talkshow_tpu.ops.pose import BODY_DIM, HAND_DIM
+
+
+class BodyModels(NamedTuple):
+    """Model defs + variables for the complete body stage."""
+    vq_body: VQVAE
+    vq_hand: VQVAE
+    vq_body_vars: Any          # {'params', 'batch_stats'}
+    vq_hand_vars: Any
+    vq_body_state: vq_ops.VQState
+    vq_hand_state: vq_ops.VQState
+    audio_enc: AudioEncoder
+    audio_enc_vars: Any
+    prior: GatedPixelCNN
+    prior_vars: Any
+
+
+def create_body_models(rng, code_num: int = 2048, embedding_dim: int = 64,
+                       num_hiddens: int = 1024, pixel_dim: int = 256,
+                       pixel_layers: int = 15, num_classes: int = 4,
+                       bh_model: bool = True, window: int = 88) -> BodyModels:
+    """Random-init all body-stage modules (shapes per config/body_pixel.json)."""
+    r = jax.random.split(rng, 6)
+    vq_body = VQVAE(in_dim=BODY_DIM, embedding_dim=embedding_dim,
+                    num_hiddens=num_hiddens)
+    vq_hand = VQVAE(in_dim=HAND_DIM, embedding_dim=embedding_dim,
+                    num_hiddens=num_hiddens)
+    dummy_b = jnp.zeros((1, window, BODY_DIM))
+    dummy_h = jnp.zeros((1, window, HAND_DIM))
+    st_b = vq_ops.init_vq_state(r[0], code_num, embedding_dim)
+    st_h = vq_ops.init_vq_state(r[1], code_num, embedding_dim)
+    vb_vars = vq_body.init(r[2], dummy_b, st_b)
+    vh_vars = vq_hand.init(r[3], dummy_h, st_h)
+
+    audio_enc = AudioEncoder(num_hiddens=256)
+    ae_vars = audio_enc.init(r[4], jnp.zeros((1, window, 64)))
+
+    prior = GatedPixelCNN(input_dim=code_num, dim=pixel_dim,
+                          n_layers=pixel_layers, n_classes=num_classes,
+                          audio=True, bh_model=bh_model)
+    pr_vars = prior.init(
+        r[5], jnp.zeros((1, window // 4, 2), jnp.int32),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, window // 4, 256)),
+    )
+    return BodyModels(vq_body, vq_hand, vb_vars, vh_vars, st_b, st_h,
+                      audio_enc, ae_vars, prior, pr_vars)
+
+
+def encode_audio(models: BodyModels, mfcc_feat: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, 64) -> (B, T//4, 256) conditioning features."""
+    return models.audio_enc.apply(models.audio_enc_vars, mfcc_feat)
+
+
+def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
+                        speaker_id: jnp.ndarray, rng: jax.Array,
+                        prefix_tokens=None, prefix_len: int = 0):
+    """MFCC (B, T, 64) + speaker ids (B,) -> conv poses (B, 4*(T//4), 129).
+
+    The inference mirror of smplx_body_pixel.infer_on_audio (:232-289):
+    audio encode -> AR token sampling -> VQ decode -> [body | hand] concat.
+    """
+    audio = encode_audio(models, mfcc_feat)                  # (B, H, 256)
+    tokens = sample_tokens(models.prior, models.prior_vars, speaker_id, audio,
+                           rng, prefix_tokens=prefix_tokens,
+                           prefix_len=prefix_len)            # (B, H, 2)
+    body = models.vq_body.apply(models.vq_body_vars, tokens[..., 0],
+                                models.vq_body_state,
+                                method=VQVAE.decode_latents)  # (B, 4H, 39)
+    hand = models.vq_hand.apply(models.vq_hand_vars, tokens[..., 1],
+                                models.vq_hand_state,
+                                method=VQVAE.decode_latents)  # (B, 4H, 90)
+    return jnp.concatenate([body, hand], axis=-1), tokens
+
+
+def encode_gt_tokens(models: BodyModels, conv_poses: jnp.ndarray):
+    """GT conv poses (B, T, 129) -> token grid (B, T/4, 2); the frozen-VQ
+    encode used in prior training (smplx_body_pixel.py:193-203)."""
+    _, tb = models.vq_body.apply(models.vq_body_vars, conv_poses[..., :BODY_DIM],
+                                 models.vq_body_state, method=VQVAE.encode)
+    _, th = models.vq_hand.apply(models.vq_hand_vars, conv_poses[..., BODY_DIM:],
+                                 models.vq_hand_state, method=VQVAE.encode)
+    return jnp.stack([tb, th], axis=-1)

@@ -1,0 +1,96 @@
+"""Face generator: speech -> jaw pose (3) + expression (100), deterministic.
+
+Mirror of nets/spg/s2g_face.py:107-224 with encoder_choice='faceformer':
+  raw 16 kHz waveform -> wav2vec 2.0 (CNN frozen; 50 Hz -> 30 fps linear
+  interpolation mid-stack) -> Linear 768->256 -> identity-conditioned conv
+  middle (`AudioEncoder` :107-139: one-hot speaker -> 1x1 conv to 64ch,
+  concatenated, SeqTranslator1D with 3 residual LN conv blocks) -> two conv
+  decoder branches (jaw: 3x CNR(256->64, ln) + 1x1 -> 3;
+  expression: 3x CNR(256->256, ln) + 1x1 -> 100).
+
+Output: (B, T, 103) = [jaw3 | exp100] at 30 fps.
+"""
+from __future__ import annotations
+
+from dataclasses import field
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from talkshow_tpu.models.layers import CNR1d, SeqTranslator1D
+from talkshow_tpu.models.wav2vec import Wav2Vec2Config, Wav2Vec2Encoder
+
+
+class FaceAudioMiddle(nn.Module):
+    """Identity-conditioned conv middle (s2g_face.py:107-139)."""
+    out_dim: int = 256
+    num_classes: int = 4
+    identity: bool = True
+
+    @nn.compact
+    def __call__(self, x, id_onehot=None, train: bool = False):
+        # x: (B, T, 256); id_onehot: (B, num_classes)
+        h = nn.Dropout(0.1, deterministic=not train)(x)
+        if self.identity:
+            idf = jnp.broadcast_to(id_onehot[:, None, :].astype(jnp.float32),
+                                   (x.shape[0], x.shape[1], self.num_classes))
+            idf = nn.Conv(64, (1,), name="id_mlp")(idf)
+            h = jnp.concatenate([h, idf], axis=-1)
+        h = SeqTranslator1D(self.out_dim, min_layers_num=3, residual=True,
+                            norm="ln", name="first_net")(h, train)
+        return h
+
+
+class FaceDecoderHeads(nn.Module):
+    """Two conv branches -> concat [jaw | expression] (s2g_face.py:179-194)."""
+    jaw_dim: int = 3
+    exp_dim: int = 100
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, feature, train: bool = False):
+        h = feature
+        for i in range(3):
+            h = CNR1d(64, norm="ln", name=f"jaw_cnr_{i}")(h, train)
+        jaw = nn.Conv(self.jaw_dim, (1,), name="jaw_out")(h)
+
+        g = feature
+        for i in range(3):
+            g = CNR1d(self.hidden, norm="ln", name=f"exp_cnr_{i}")(g, train)
+        exp = nn.Conv(self.exp_dim, (1,), name="exp_out")(g)
+        return jnp.concatenate([jaw, exp], axis=-1)
+
+
+class FaceGenerator(nn.Module):
+    """waveform (B, T_samples) + speaker one-hot -> (B, T_frames, 103)."""
+    wav2vec_cfg: Wav2Vec2Config = field(default_factory=Wav2Vec2Config)
+    num_classes: int = 4
+    identity: bool = True
+    jaw_dim: int = 3
+    exp_dim: int = 100
+
+    def setup(self):
+        self.audio_encoder = Wav2Vec2Encoder(self.wav2vec_cfg)
+        self.audio_feature_map = nn.Dense(256)
+        self.audio_middle = FaceAudioMiddle(256, self.num_classes, self.identity)
+        self.heads = FaceDecoderHeads(self.jaw_dim, self.exp_dim)
+
+    def __call__(self, waveform, id_onehot, time_steps: int, train: bool = False):
+        hidden = self.audio_encoder(waveform, time_steps)   # (B, T, 768)
+        feature = self.audio_feature_map(hidden)            # (B, T, 256)
+        feature = self.audio_middle(feature, id_onehot, train)
+        return self.heads(feature, train)
+
+    def from_features(self, hidden, id_onehot, train: bool = False):
+        """Head-only path for precomputed wav2vec features (B, T, 768)."""
+        feature = self.audio_feature_map(hidden)
+        feature = self.audio_middle(feature, id_onehot, train)
+        return self.heads(feature, train)
+
+
+def face_loss(pred, gt):
+    """L1 on the first 6 channels + MSE on the last 100
+    (nets/smplx_face.py:139-167). gt: (B, T, 265-layout first 6 + exp last)."""
+    l1 = jnp.mean(jnp.abs(pred[..., :6] - gt[..., :6]))
+    mse = jnp.mean((pred[..., -100:] - gt[..., -100:]) ** 2)
+    return l1 + mse, {"MSELoss": l1, "exp_loss": mse}

@@ -1,0 +1,140 @@
+"""End-to-end speech -> SMPL-X motion pipeline (the public API).
+
+Mirror of scripts/demo.py:158-247: the face generator produces jaw +
+expression for every frame; the body stage samples `num_samples` diverse
+body+hand sequences from the PixelCNN prior and decodes them with the
+frozen VQ-VAEs; `part2full` re-inserts the canned lower body.
+
+TPU-first differences from the reference:
+  * diversity sampling is one batched program (B = num_samples), not a
+    python loop over samples (demo.py:195);
+  * every stage is jitted once per audio-length bucket and cached;
+  * audio featurization (MFCC / resample) is jnp too.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from talkshow_tpu.models.body import BodyModels, create_body_models, generate_conv_poses
+from talkshow_tpu.models.face import FaceGenerator
+from talkshow_tpu.ops import audio as audio_ops
+from talkshow_tpu.ops import pose as pose_ops
+from talkshow_tpu.ops.pose import SPEAKER_ID, SPEAKER_OFFSET
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class Pipeline:
+    face_model: FaceGenerator
+    face_vars: Any
+    body: BodyModels
+    num_classes: int = 4
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, rng: jax.Array | int = 0, wav2vec_cfg=None,
+               **body_kwargs) -> "Pipeline":
+        """Random-init pipeline (for tests/benchmarks; use
+        `from_torch_checkpoints` for reference weights)."""
+        if isinstance(rng, int):
+            rng = jax.random.PRNGKey(rng)
+        r_face, r_body = jax.random.split(rng)
+        from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+        cfg = wav2vec_cfg or Wav2Vec2Config()
+        face = FaceGenerator(wav2vec_cfg=cfg)
+        face_vars = face.init(r_face, jnp.zeros((1, 3200)),
+                              jnp.zeros((1, 4)), 6)
+        body = create_body_models(r_body, **body_kwargs)
+        return cls(face, face_vars, body)
+
+    # ------------------------------------------------------------------
+    # jitted stage functions, cached per shape bucket
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _face_fn(self):
+        @functools.partial(jax.jit, static_argnames=("time_steps",))
+        def run(face_vars, waveform, id_onehot, time_steps):
+            return self.face_model.apply(face_vars, waveform, id_onehot,
+                                         time_steps)
+        return run
+
+    @functools.cached_property
+    def _body_fn(self):
+        @jax.jit
+        def run(body: BodyModels, mfcc_feat, speaker_id, rng):
+            conv, tokens = generate_conv_poses(body, mfcc_feat, speaker_id, rng)
+            return conv, tokens
+        return run
+
+    # ------------------------------------------------------------------
+    def generate_face(self, wav16k: np.ndarray, frame: int | None = None):
+        """Raw 16 kHz waveform (T,) -> (T_frames, 103) jaw+expression."""
+        wav16k = np.asarray(wav16k, np.float32).reshape(-1)
+        if frame is None:
+            frame = int(len(wav16k) * 30 // 16000)
+        # demo path uses a zero one-hot id (smplx_face.py:205-206)
+        id_onehot = jnp.zeros((1, self.num_classes))
+        out = self._face_fn(self.face_vars, jnp.asarray(wav16k)[None], id_onehot,
+                            frame)
+        return out[0]
+
+    def generate_body(self, mfcc_feat: np.ndarray, speaker: int,
+                      num_samples: int = 1, seed: int = 0):
+        """MFCC (T, 64) -> conv poses (num_samples, 4*(T//4), 129)."""
+        feat = jnp.asarray(mfcc_feat, jnp.float32)[None].repeat(num_samples, 0)
+        ids = jnp.full((num_samples,), speaker, jnp.int32)
+        rng = jax.random.PRNGKey(seed)
+        conv, _ = self._body_fn(self.body, feat, ids, rng)
+        return conv
+
+    def generate(self, wav_file: str, speaker: int | str = 0,
+                 num_samples: int = 1, only_face: bool = False,
+                 stand: bool = False, seed: int = 0,
+                 sr_body: int = 22000) -> np.ndarray:
+        """wav file -> (num_samples, T, 265) SMPL-X parameters @30fps.
+
+        speaker: dataset id int (0-3) or name ('oliver', ...).
+        Mirrors scripts/demo.py infer() assembly (:185-236).
+        """
+        if isinstance(speaker, str):
+            speaker = SPEAKER_ID[speaker] - SPEAKER_OFFSET
+
+        wav16, sr0 = audio_ops.load_wav(wav_file)
+        if sr0 != 16000:
+            wav16 = np.asarray(audio_ops.resample(jnp.asarray(wav16), sr0, 16000))
+        face_out = np.asarray(self.generate_face(wav16))      # (T, 103)
+        jaw, exp = face_out[:, :3], face_out[:, 3:]
+        T = face_out.shape[0]
+
+        if only_face:
+            base = np.zeros((T, 232), np.float32)
+            base[:, :3] = jaw
+            full = np.asarray(pose_ops.part2full(jnp.asarray(base), stand=True))
+            full[:, 165:] = exp
+            # static body: orient only (demo.py:167-169,229)
+            return np.repeat(full[None], 1, axis=0)
+
+        feat = audio_ops.get_mfcc(wav_file, sr=sr_body, fps=30)  # (Tm, 64)
+        conv = np.asarray(self.generate_body(feat, speaker, num_samples, seed))
+        # match body length to face length (demo.py:207-211)
+        S, Tb, _ = conv.shape
+        if Tb < T:
+            pad = np.repeat(conv[:, -1:], T - Tb, axis=1)
+            conv = np.concatenate([conv, pad], axis=1)
+        else:
+            conv = conv[:, :T]
+
+        jaw_b = np.broadcast_to(jaw[None], (S, T, 3))
+        exp_b = np.broadcast_to(exp[None], (S, T, 100))
+        pred = jnp.asarray(np.concatenate([jaw_b, conv, exp_b], axis=-1))
+        full = pose_ops.part2full(pred.reshape(S * T, -1), stand)
+        return np.asarray(full).reshape(S, T, 265)

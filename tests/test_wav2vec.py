@@ -1,0 +1,68 @@
+"""Parity of the JAX wav2vec2 encoder vs HF transformers (random init)."""
+import numpy as np
+import jax
+import pytest
+import torch
+
+from talkshow_tpu.convert.wav2vec import config_from_hf, convert_wav2vec2
+from talkshow_tpu.models.wav2vec import Wav2Vec2Encoder
+
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def small_pair():
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model as HFModel
+
+    hf_cfg = HFConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=[16, 16, 16],
+        conv_kernel=[10, 3, 2],
+        conv_stride=[5, 2, 2],
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=False,
+        feat_extract_norm="group",
+        conv_bias=False,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    model = Wav2Vec2Encoder(cfg)
+    params = convert_wav2vec2(hf.state_dict(), cfg)
+    return hf, model, params
+
+
+def test_feature_extractor_parity(small_pair):
+    hf, model, params = small_pair
+    x = torch.randn(2, 3200)
+    with torch.no_grad():
+        ref = hf.feature_extractor(x).transpose(1, 2).numpy()  # (B, T', C)
+    ours = model.apply({"params": params}, jax.numpy.asarray(x.numpy()),
+                       method=Wav2Vec2Encoder.extract_features)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_full_encoder_parity(small_pair):
+    """With frame_num == natural length, the mid-stack interpolation is a
+    no-op and our forward must equal HF's vanilla forward."""
+    hf, model, params = small_pair
+    x = torch.randn(2, 3200)
+    with torch.no_grad():
+        natural_t = hf.feature_extractor(x).shape[-1]
+        ref = hf(x).last_hidden_state.numpy()
+    ours = model.apply({"params": params}, jax.numpy.asarray(x.numpy()), natural_t)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4)
+
+
+def test_interpolated_length(small_pair):
+    _, model, params = small_pair
+    x = np.random.default_rng(0).standard_normal((1, 3200)).astype(np.float32)
+    out = model.apply({"params": params}, jax.numpy.asarray(x), 30)
+    assert out.shape[1] == 30
