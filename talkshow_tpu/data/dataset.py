@@ -1,0 +1,185 @@
+"""SHOW-dataset loading + windowing, host-side, numpy-only.
+
+Mirrors the reference data layer (data_utils/dataloader_torch.py:12-259,
+data_utils/mesh_dataset.py:29-348) without torch DataLoaders:
+
+  * directory walk `data_root/<speaker>/<video>/<split>/<clip>/` with
+    `<clip>.pkl` (SMPL-X params) + `<clip>.wav`;
+  * per-clip preprocessing: pack 99-D pose (jaw, eyes, orient, body,
+    12+12 hand-PCA), expand hand PCA -> 165-D, append 100-D expression,
+    precompute the MFCC (or raw-waveform) audio feature once;
+  * one-time pickling of the preprocessed split for fast reload
+    (`<split><pklname>` next to data_root, as dataloader_torch.py:246-250);
+  * train windows of `generate_length` frames at stride 6 with the
+    reference's random jitter (mesh_dataset.py:240-252, 337-340); whole
+    clips at val/test;
+  * `batches()` yields dict batches of stacked numpy arrays, dropping the
+    ragged remainder (batch dims stay static for jit).
+
+Returned arrays are channels-last: poses (T, 165), expression (T, 100),
+aud_feat (T, 64) — the TPU models' native layout.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from talkshow_tpu.ops import audio as audio_ops
+from talkshow_tpu.ops.pose import SPEAKER_ID, hand_pca_to_full
+
+
+@dataclass
+class Clip:
+    speaker: str
+    poses: np.ndarray        # (T, 165) axis-angle
+    expression: np.ndarray   # (T, 100)
+    aud_feat: np.ndarray     # (T_a, F) mfcc, or (N, 1) raw wave
+    betas: np.ndarray        # (300,)
+    audio_path: str = ""
+
+
+@dataclass
+class ShowDataset:
+    clips: list = field(default_factory=list)
+    generate_length: int = 88
+    pre_length: int = 0
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_root(cls, data_root: str, speakers, split: str = "train",
+                  feat: str = "mfcc", cache_pkl: str | None = None,
+                  generate_length: int = 88, fps: int = 30,
+                  audio_sr: int = 22000, limit: int | None = None):
+        """Walk the SHOW layout and preprocess every clip of `split`."""
+        if cache_pkl and os.path.isfile(cache_pkl):
+            with open(cache_pkl, "rb") as f:
+                clips = pickle.load(f)
+            return cls(clips, generate_length)
+
+        clips = []
+        for speaker in speakers:
+            sp_dir = os.path.join(data_root, speaker)
+            if not os.path.isdir(sp_dir):
+                continue
+            for vid in sorted(os.listdir(sp_dir)):
+                split_dir = os.path.join(sp_dir, vid, split)
+                if not os.path.isdir(split_dir):
+                    continue
+                for clip_name in sorted(os.listdir(split_dir)):
+                    cdir = os.path.join(split_dir, clip_name)
+                    pkls = [f for f in os.listdir(cdir) if f.endswith(".pkl")]
+                    wavs = [f for f in os.listdir(cdir) if f.endswith(".wav")]
+                    if not pkls or not wavs:
+                        continue
+                    clip = cls.load_clip(
+                        os.path.join(cdir, pkls[0]), os.path.join(cdir, wavs[0]),
+                        speaker, feat=feat, fps=fps, audio_sr=audio_sr)
+                    if clip is not None:
+                        clips.append(clip)
+                    if limit and len(clips) >= limit:
+                        break
+        if cache_pkl:
+            with open(cache_pkl, "wb") as f:
+                pickle.dump(clips, f)
+        return cls(clips, generate_length)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def load_clip(pkl_path: str, wav_path: str, speaker: str,
+                  feat: str = "mfcc", fps: int = 30,
+                  audio_sr: int = 22000) -> Clip | None:
+        """One clip pkl+wav -> Clip (mesh_dataset._load_them_all :166-222)."""
+        with open(pkl_path, "rb") as f:
+            data = pickle.load(f)
+        try:
+            jaw = np.asarray(data["jaw_pose"])
+            leye = np.asarray(data["leye_pose"])
+            reye = np.asarray(data["reye_pose"])
+            orient = np.asarray(data["global_orient"]).squeeze()
+            body = np.asarray(data["body_pose_axis"])
+            lh = np.asarray(data["left_hand_pose"])
+            rh = np.asarray(data["right_hand_pose"])
+            expression = np.asarray(data["expression"])
+            betas = np.asarray(data["betas"]).reshape(-1)
+        except KeyError:
+            return None
+        packed = np.concatenate([jaw, leye, reye, orient.reshape(len(jaw), 3),
+                                 body, lh[:, :12], rh[:, :12]], axis=1)
+        if packed.shape[1] != 99 or not np.isfinite(packed).all():
+            return None
+        poses = hand_pca_to_full(packed).astype(np.float32)
+
+        if feat == "mfcc":
+            aud = audio_ops.get_mfcc(wav_path, sr=audio_sr, fps=fps)
+        elif feat == "raw":
+            aud = audio_ops.get_raw_16k(wav_path)
+        else:
+            raise ValueError(feat)
+        return Clip(speaker, poses, expression.astype(np.float32),
+                    np.asarray(aud, np.float32), betas.astype(np.float32),
+                    wav_path)
+
+    # ------------------------------------------------------------------
+    def train_windows(self, rng: np.random.Generator):
+        """Yield per-window samples: stride-6 start indices with the
+        reference's 0/3-frame jitter (mesh_dataset.py:240-252,337-340)."""
+        L = self.generate_length + self.pre_length
+        for ci, clip in enumerate(self.clips):
+            T = min(clip.poses.shape[0], clip.aud_feat.shape[0])
+            for start in range(0, T - L, 6):
+                s = start + rng.choice([0, 3])
+                if s + L > clip.poses.shape[0]:
+                    s = start
+                aud = clip.aud_feat[s:s + L]
+                if aud.shape[0] < L:
+                    aud = np.pad(aud, [[0, L - aud.shape[0]], [0, 0]],
+                                 mode="reflect")
+                yield {
+                    "poses": clip.poses[s:s + L],
+                    "expression": clip.expression[s:s + L],
+                    "aud_feat": aud,
+                    "speaker": np.int32(SPEAKER_ID[clip.speaker] - 20),
+                    "betas": clip.betas,
+                }
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True):
+        """Stacked numpy batches of train windows (drop ragged tail)."""
+        samples = list(self.train_windows(rng))
+        order = rng.permutation(len(samples)) if shuffle else np.arange(len(samples))
+        for i in range(0, len(samples) - batch_size + 1, batch_size):
+            group = [samples[j] for j in order[i:i + batch_size]]
+            yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+
+    def whole_clips(self):
+        """Eval mode: full clips (mesh_dataset.py:246-248)."""
+        for clip in self.clips:
+            yield {
+                "poses": clip.poses,
+                "expression": clip.expression,
+                "aud_feat": clip.aud_feat,
+                "speaker": np.int32(SPEAKER_ID[clip.speaker] - 20),
+                "betas": clip.betas,
+                "audio_path": clip.audio_path,
+            }
+
+
+def synthetic_dataset(num_clips: int = 4, frames: int = 240, seed: int = 0,
+                      speakers=("oliver", "chemistry")) -> ShowDataset:
+    """Random dataset with the real layout — for tests and smoke training."""
+    rng = np.random.default_rng(seed)
+    clips = []
+    for i in range(num_clips):
+        t = frames + int(rng.integers(0, 30))
+        clips.append(Clip(
+            speaker=speakers[i % len(speakers)],
+            poses=rng.standard_normal((t, 165)).astype(np.float32) * 0.2,
+            expression=rng.standard_normal((t, 100)).astype(np.float32) * 0.3,
+            aud_feat=rng.standard_normal((t, 64)).astype(np.float32),
+            betas=np.zeros(300, np.float32),
+        ))
+    return ShowDataset(clips)

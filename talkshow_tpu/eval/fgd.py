@@ -1,0 +1,92 @@
+"""Fréchet Gesture Distance evaluator (on-device capable).
+
+Mirror of evaluation/FGD.py:15-199: motion clips are embedded with the
+body-AE feature extractor (nets/body_ae.py), then FGD = Fréchet distance
+between gaussians fit to real vs generated features, plus a feature-space
+MAE.
+
+The matrix square root uses the identity
+    tr sqrtm(S1 S2) = sum_i sqrt(lambda_i(S1^(1/2) S2 S1^(1/2)))
+so everything reduces to two symmetric eigendecompositions — jittable on
+TPU, no scipy.linalg.sqrtm host roundtrip.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from talkshow_tpu.models.vqvae import AE
+from talkshow_tpu.ops.pose import C_INDEX_3D
+
+
+def frechet_distance(feats_a: jnp.ndarray, feats_b: jnp.ndarray,
+                     eps: float = 1e-6) -> jnp.ndarray:
+    """FGD between two feature sets (N, D), (M, D)."""
+    mu1, mu2 = jnp.mean(feats_a, 0), jnp.mean(feats_b, 0)
+    s1 = jnp.cov(feats_a, rowvar=False)
+    s2 = jnp.cov(feats_b, rowvar=False)
+    s1 = s1 + jnp.eye(s1.shape[0]) * eps
+    s2 = s2 + jnp.eye(s2.shape[0]) * eps
+
+    # sqrt of s1 via eigh
+    w1, v1 = jnp.linalg.eigh(s1)
+    sq1 = (v1 * jnp.sqrt(jnp.maximum(w1, 0.0))) @ v1.T
+    m = sq1 @ s2 @ sq1
+    wm = jnp.linalg.eigvalsh(m)
+    tr_covmean = jnp.sum(jnp.sqrt(jnp.maximum(wm, 0.0)))
+
+    diff = mu1 - mu2
+    return diff @ diff + jnp.trace(s1) + jnp.trace(s2) - 2.0 * tr_covmean
+
+
+class FGDEvaluator:
+    """Accumulates real/generated features, joints and audio beats per clip
+    (push_* mirror EmbeddingSpaceEvaluator :38-63)."""
+
+    def __init__(self, ae: AE, ae_vars):
+        self.ae = ae
+        self.ae_vars = ae_vars
+        self.reset()
+
+    def reset(self):
+        self.real_feats = []
+        self.gen_feats = []
+        self.real_joints = []
+        self.gen_joints = []
+        self.audio_beats = []
+
+    def extract(self, poses: jnp.ndarray) -> jnp.ndarray:
+        """Conv-channel poses (B, T, C) -> features (B, T/4, embed)."""
+        if poses.shape[-1] > 129:
+            poses = poses[..., C_INDEX_3D]
+        return self.ae.apply(self.ae_vars, poses, method=AE.encode)
+
+    def push_samples(self, generated: jnp.ndarray, real: jnp.ndarray):
+        rf = self.extract(real)
+        gf = self.extract(generated)
+        self.real_feats.append(np.asarray(rf).reshape(-1, rf.shape[-1]))
+        self.gen_feats.append(np.asarray(gf).reshape(-1, gf.shape[-1]))
+
+    def push_joints(self, generated: np.ndarray, real: np.ndarray):
+        self.real_joints.append(np.asarray(real))
+        self.gen_joints.append(np.asarray(generated).squeeze())
+
+    def push_aud(self, beats: np.ndarray):
+        self.audio_beats.append(np.asarray(beats))
+
+    def get_scores(self):
+        """-> (fgd, feature MAE) (reference get_scores :117-144)."""
+        gen = np.vstack(self.gen_feats)
+        real = np.vstack(self.real_feats)
+        fgd = float(frechet_distance(jnp.asarray(gen), jnp.asarray(real)))
+        n = min(len(gen), len(real))
+        feat_mae = float(np.mean(np.sum(np.abs(real[:n] - gen[:n]), axis=1)))
+        return fgd, feat_mae
+
+    def get_bc_score(self) -> float:
+        from talkshow_tpu.eval.metrics import beat_consistency
+        return beat_consistency(self.gen_joints, self.audio_beats)
+
+    def get_maac(self):
+        from talkshow_tpu.eval.metrics import maac
+        return maac(self.real_joints)

@@ -149,6 +149,7 @@ class GatedPixelCNN(nn.Module):
             self.embedding_aud = nn.Conv(self.dim, (1, 1), kernel_init=xavier())
             self.fusion_v = nn.Conv(self.dim, (1, 1), kernel_init=xavier())
             self.fusion_h = nn.Conv(self.dim, (1, 1), kernel_init=xavier())
+            self.aud_dropout = nn.Dropout(0.1)
         self.layers = [
             GatedMaskedLayer(
                 dim=self.dim,
@@ -184,8 +185,9 @@ class GatedPixelCNN(nn.Module):
                 aud_e = self.embedding_aud(aud)
                 if train:
                     # per-timestep dropout of the audio condition (ref :138-141)
-                    keep = nn.Dropout(0.1, deterministic=False)(
-                        jnp.ones((aud_e.shape[0], aud_e.shape[1], 1, 1)))
+                    keep = self.aud_dropout(
+                        jnp.ones((aud_e.shape[0], aud_e.shape[1], 1, 1)),
+                        deterministic=False)
                     aud_e = aud_e * keep
                 x_v = self.fusion_v(jnp.concatenate([x_v, aud_e], axis=-1))
                 if self.bh_model:

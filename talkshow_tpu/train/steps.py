@@ -1,0 +1,217 @@
+"""Jitted train steps for every TalkSHOW-TPU stage.
+
+Unlike the reference — where each TrainWrapper owns its optimizers and
+calls .backward() internally (nets/base.py:9-21, SURVEY §1) — optimization
+here is owned by the train loop: each stage is a pure
+`step(state, batch, rng) -> (state, metrics)` function, jitted once, with
+BatchNorm statistics and VQ codebook EMA state threaded explicitly.
+
+Loss definitions follow the reference exactly:
+  * body VQ:   L1 rec + L1 velocity + commitment  (smplx_body_vq.py:177-206)
+  * prior:     cross-entropy over codebook logits  (smplx_body_pixel.py:216)
+  * face:      L1(first 6 ch) + MSE(last 100 ch)   (smplx_face.py:139-167)
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from talkshow_tpu.models.face import FaceGenerator
+from talkshow_tpu.models.pixelcnn import GatedPixelCNN
+from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
+from talkshow_tpu.ops import vq as vq_ops
+from talkshow_tpu.ops.pose import BODY_DIM, C_INDEX_3D, HAND_DIM
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: compositional body/hand VQ-VAEs
+# ---------------------------------------------------------------------------
+
+class BodyVQState(NamedTuple):
+    params: Any          # {'body': ..., 'hand': ...}
+    batch_stats: Any
+    vq: Any              # {'body': VQState, 'hand': VQState}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_body_vq_step(vq_body: VQVAE, vq_hand: VQVAE, learning_rate: float = 1e-4):
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
+
+    def init_state(rng, window: int = 88) -> BodyVQState:
+        r = jax.random.split(rng, 4)
+        st_b = vq_ops.init_vq_state(r[0], 2048, vq_body.embedding_dim)
+        st_h = vq_ops.init_vq_state(r[1], 2048, vq_hand.embedding_dim)
+        vb = vq_body.init(r[2], jnp.zeros((1, window, BODY_DIM)), st_b)
+        vh = vq_hand.init(r[3], jnp.zeros((1, window, HAND_DIM)), st_h)
+        params = {"body": vb["params"], "hand": vh["params"]}
+        stats = {"body": vb["batch_stats"], "hand": vh["batch_stats"]}
+        return BodyVQState(params, stats, {"body": st_b, "hand": st_h},
+                           tx.init(params), jnp.zeros((), jnp.int32))
+
+    def rec_loss(pred, gt):
+        rec = jnp.mean(jnp.abs(pred - gt))
+        vel = jnp.mean(jnp.abs((pred[:, 1:] - pred[:, :-1])
+                               - (gt[:, 1:] - gt[:, :-1])))
+        return rec, vel
+
+    def loss_fn(params, batch_stats, vq_states, conv_poses):
+        out = {}
+        new_stats, new_vq = {}, {}
+        total = 0.0
+        for name, model, sl in (
+            ("body", vq_body, slice(0, BODY_DIM)),
+            ("hand", vq_hand, slice(BODY_DIM, BODY_DIM + HAND_DIM)),
+        ):
+            gt = conv_poses[..., sl]
+            (recon, commit, nvq, _), updates = model.apply(
+                {"params": params[name], "batch_stats": batch_stats[name]},
+                gt, vq_states[name], True, mutable=["batch_stats"],
+            )
+            rec, vel = rec_loss(recon, gt)
+            total = total + rec + vel + commit
+            out[f"{name}_rec"] = rec
+            out[f"{name}_vel"] = vel
+            out[f"{name}_commit"] = commit
+            new_stats[name] = updates["batch_stats"]
+            new_vq[name] = nvq
+        return total, (out, new_stats, new_vq)
+
+    def step(state: BodyVQState, batch) -> tuple[BodyVQState, dict]:
+        """batch: {'poses': (B, T, 165)} (или already-sliced conv channels)."""
+        poses = batch["poses"]
+        conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
+        grads, (metrics, new_stats, new_vq) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, state.vq, conv)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return BodyVQState(params, new_stats, new_vq, opt_state,
+                           state.step + 1), metrics
+
+    return init_state, jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: PixelCNN prior + audio encoder (VQs frozen)
+# ---------------------------------------------------------------------------
+
+class PixelState(NamedTuple):
+    params: Any          # {'prior': ..., 'audio': ...}
+    batch_stats: Any     # {'audio': ...}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
+                         vq_body: VQVAE, vq_hand: VQVAE,
+                         frozen_vq_vars: dict, frozen_vq_states: dict,
+                         learning_rate: float = 1e-4,
+                         max_grad_norm: float = 5.0):
+    """frozen_vq_vars: {'body': vars, 'hand': vars} of the stage-1 VQs."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adam(learning_rate, b1=0.9, b2=0.999),
+    )
+
+    def init_state(rng, window: int = 88) -> PixelState:
+        r = jax.random.split(rng, 2)
+        av = audio_enc.init(r[0], jnp.zeros((1, window, 64)))
+        pv = prior.init(r[1], jnp.zeros((1, window // 4, 2), jnp.int32),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, window // 4, audio_enc.num_hiddens)))
+        params = {"prior": pv["params"], "audio": av["params"]}
+        stats = {"audio": av["batch_stats"]}
+        return PixelState(params, stats, tx.init(params), jnp.zeros((), jnp.int32))
+
+    def encode_tokens(conv_poses):
+        _, tb = vq_body.apply(frozen_vq_vars["body"], conv_poses[..., :BODY_DIM],
+                              frozen_vq_states["body"], method=VQVAE.encode)
+        _, th = vq_hand.apply(frozen_vq_vars["hand"], conv_poses[..., BODY_DIM:],
+                              frozen_vq_states["hand"], method=VQVAE.encode)
+        return jnp.stack([tb, th], axis=-1)        # (B, T/4, 2)
+
+    def loss_fn(params, batch_stats, tokens, aud, speaker, rng):
+        audio_feat, updates = audio_enc.apply(
+            {"params": params["audio"], "batch_stats": batch_stats["audio"]},
+            aud, True, mutable=["batch_stats"])
+        logits = prior.apply({"params": params["prior"]}, tokens, speaker,
+                             audio_feat, True, rngs={"dropout": rng})
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, logits.shape[-1]), tokens.reshape(-1)).mean()
+        return ce, updates["batch_stats"]
+
+    def step(state: PixelState, batch, rng):
+        """batch: poses (B, T, 165|129), aud_feat (B, T, 64), speaker (B,)."""
+        poses = batch["poses"]
+        conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
+        tokens = jax.lax.stop_gradient(encode_tokens(conv))
+        (ce, new_audio_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, tokens, batch["aud_feat"],
+            batch["speaker"], rng)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = PixelState(params, {"audio": new_audio_stats}, opt_state,
+                               state.step + 1)
+        return new_state, {"ce_loss": ce, "grad": gnorm}
+
+    return init_state, jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: face generator (SGD, wav2vec CNN frozen)
+# ---------------------------------------------------------------------------
+
+class FaceState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _face_param_labels(params):
+    def label(path, _):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        return "frozen" if "feature_extractor" in keys else "train"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
+                   momentum: float = 0.9, max_grad_norm: float = 5.0,
+                   window: int = 88):
+    def make_tx(params):
+        return optax.multi_transform(
+            {"train": optax.chain(optax.clip_by_global_norm(max_grad_norm),
+                                  optax.sgd(learning_rate, momentum=momentum)),
+             "frozen": optax.set_to_zero()},
+            _face_param_labels(params),
+        )
+
+    def init_state(rng, samples_per_window: int | None = None) -> FaceState:
+        n = samples_per_window or window * 16000 // 30
+        v = face.init(rng, jnp.zeros((1, n)), jnp.zeros((1, face.num_classes)),
+                      window)
+        tx = make_tx(v["params"])
+        return FaceState(v["params"], tx.init(v["params"]), jnp.zeros((), jnp.int32))
+
+    def loss_fn(params, waveform, id_onehot, gt, rng):
+        frames = gt.shape[1]
+        pred = face.apply({"params": params}, waveform, id_onehot, frames, True,
+                          rngs={"dropout": rng})
+        l1 = jnp.mean(jnp.abs(pred[..., :6] - gt[..., :6]))
+        mse = jnp.mean((pred[..., -100:] - gt[..., -100:]) ** 2)
+        return l1 + mse, {"MSELoss": l1, "exp_loss": mse}
+
+    def step(state: FaceState, batch, rng) -> tuple[FaceState, dict]:
+        """batch: waveform (B, N), id_onehot (B, 4), gt (B, T, >=106)."""
+        tx = make_tx(state.params)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch["waveform"], batch["id_onehot"], batch["gt"], rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss, grad=optax.global_norm(grads))
+        return FaceState(params, opt_state, state.step + 1), metrics
+
+    return init_state, jax.jit(step)

@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Env vars alone are not enough if jax got imported before conftest (pytest
+# plugins) — force via config too, before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

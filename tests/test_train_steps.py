@@ -1,0 +1,100 @@
+"""Smoke + convergence sanity for the jitted train steps (tiny models)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from talkshow_tpu.models.pixelcnn import GatedPixelCNN
+from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
+from talkshow_tpu.ops import vq as vq_ops
+from talkshow_tpu.train import steps as tsteps
+
+W = 8  # tiny window (2 token rows)
+
+
+@pytest.fixture(scope="module")
+def tiny_vq():
+    return (VQVAE(in_dim=39, num_hiddens=64),
+            VQVAE(in_dim=90, num_hiddens=64))
+
+
+def test_body_vq_step_decreases_loss(tiny_vq):
+    vq_body, vq_hand = tiny_vq
+    init_state, step = tsteps.make_body_vq_step(vq_body, vq_hand,
+                                                learning_rate=1e-3)
+    state = init_state(jax.random.PRNGKey(0), window=W)
+    rng = np.random.default_rng(0)
+    batch = {"poses": jnp.asarray(rng.standard_normal((4, W, 129)) * 0.1,
+                                  jnp.float32)}
+    state, m0 = step(state, batch)
+    for _ in range(10):
+        state, m = step(state, batch)
+    assert float(m["body_rec"]) < float(m0["body_rec"])
+    assert np.isfinite(float(m["hand_commit"]))
+    assert int(state.step) == 11
+
+
+def test_body_pixel_step_runs_and_learns(tiny_vq):
+    vq_body, vq_hand = tiny_vq
+    r = jax.random.split(jax.random.PRNGKey(1), 4)
+    st_b = vq_ops.init_vq_state(r[0], 64, 64)
+    st_h = vq_ops.init_vq_state(r[1], 64, 64)
+    vb = vq_body.init(r[2], jnp.zeros((1, W, 39)), st_b)
+    vh = vq_hand.init(r[3], jnp.zeros((1, W, 90)), st_h)
+
+    audio_enc = AudioEncoder(num_hiddens=32)
+    prior = GatedPixelCNN(input_dim=64, dim=16, n_layers=3, audio=True,
+                          audio_channels=32)
+    init_state, step = tsteps.make_body_pixel_step(
+        prior, audio_enc, vq_body, vq_hand,
+        {"body": vb, "hand": vh}, {"body": st_b, "hand": st_h},
+        learning_rate=1e-3)
+    state = init_state(jax.random.PRNGKey(2), window=W)
+    rng = np.random.default_rng(1)
+    batch = {
+        "poses": jnp.asarray(rng.standard_normal((4, W, 129)) * 0.1, jnp.float32),
+        "aud_feat": jnp.asarray(rng.standard_normal((4, W, 64)), jnp.float32),
+        "speaker": jnp.asarray([0, 1, 2, 3], jnp.int32),
+    }
+    key = jax.random.PRNGKey(3)
+    state, m0 = step(state, batch, key)
+    for i in range(15):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    assert float(m["ce_loss"]) < float(m0["ce_loss"])
+    assert np.isfinite(float(m["grad"]))
+
+
+def test_face_step_runs_and_freezes_cnn():
+    from talkshow_tpu.models.face import FaceGenerator
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4,
+                         intermediate_size=64, conv_dim=(16, 16),
+                         conv_kernel=(10, 3), conv_stride=(5, 2),
+                         num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    face = FaceGenerator(wav2vec_cfg=cfg)
+    init_state, step = tsteps.make_face_step(face, learning_rate=1e-3, window=6)
+    state = init_state(jax.random.PRNGKey(0), samples_per_window=3200)
+    cnn_before = jax.tree_util.tree_leaves(
+        state.params["audio_encoder"]["feature_extractor"])[0].copy()
+
+    rng = np.random.default_rng(2)
+    batch = {
+        "waveform": jnp.asarray(rng.standard_normal((2, 3200)), jnp.float32),
+        "id_onehot": jnp.eye(4)[jnp.asarray([0, 1])],
+        "gt": jnp.asarray(rng.standard_normal((2, 6, 265)) * 0.1, jnp.float32),
+    }
+    key = jax.random.PRNGKey(5)
+    state, m0 = step(state, batch, key)
+    for i in range(5):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    assert float(m["loss"]) < float(m0["loss"])
+    cnn_after = jax.tree_util.tree_leaves(
+        state.params["audio_encoder"]["feature_extractor"])[0]
+    np.testing.assert_array_equal(np.asarray(cnn_before), np.asarray(cnn_after))
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
