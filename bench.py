@@ -52,7 +52,7 @@ def main():
         return face.apply(face_vars, wav, jnp.zeros((1, 4)), frames)
 
     @jax.jit
-    def run_body(body, feat, rng):
+    def run_body(feat, rng):
         conv, tokens = generate_conv_poses(
             body, feat[None], jnp.zeros((1,), jnp.int32), rng)
         return conv
@@ -60,7 +60,7 @@ def main():
     def pipeline_once(key):
         feat = featurize(wav22)
         f = run_face(face_vars, jnp.asarray(wav16)[None])
-        b = run_body(body, feat, key)
+        b = run_body(feat, key)
         jax.block_until_ready((f, b))
         return f, b
 

@@ -69,8 +69,10 @@ class Pipeline:
 
     @functools.cached_property
     def _body_fn(self):
+        body = self.body  # modules are static; close over them
+
         @jax.jit
-        def run(body: BodyModels, mfcc_feat, speaker_id, rng):
+        def run(mfcc_feat, speaker_id, rng):
             conv, tokens = generate_conv_poses(body, mfcc_feat, speaker_id, rng)
             return conv, tokens
         return run
@@ -93,7 +95,7 @@ class Pipeline:
         feat = jnp.asarray(mfcc_feat, jnp.float32)[None].repeat(num_samples, 0)
         ids = jnp.full((num_samples,), speaker, jnp.int32)
         rng = jax.random.PRNGKey(seed)
-        conv, _ = self._body_fn(self.body, feat, ids, rng)
+        conv, _ = self._body_fn(feat, ids, rng)
         return conv
 
     def generate(self, wav_file: str, speaker: int | str = 0,
