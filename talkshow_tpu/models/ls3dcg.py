@@ -1,0 +1,123 @@
+"""LS3DCG baseline: joint face+body+hand GAN from speech (flax, NWC).
+
+Mirror of nets/LS3DCG.py (the reference's reimplementation of Habibie et
+al.): a shared 1-D conv U-Net-ish encoder over MFCC with MaxPool
+downsampling and nearest-neighbour upsampling, three skip-connected
+decoder branches (face = jaw3+exp100, body 39, hands 90 — :131-177), and
+an LSGAN conv discriminator on [poses | audio] (:204-225).
+
+Output layout: (B, T, 232) = [jaw3 | exp100 | body39 | hand90]
+(note: face first — demo.py:221-222 reorders it for SMPL-X).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from talkshow_tpu.models.layers import TorchBatchNorm, leaky_relu02
+
+
+def nearest_resize(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') on axis 1 of (B, T, C)."""
+    in_len = x.shape[1]
+    if in_len == out_len:
+        return x
+    idx = (jnp.arange(out_len) * in_len) // out_len
+    return x[:, idx]
+
+
+class TFConvNormRelu(nn.Module):
+    """Conv1d (TF SAME padding) + BN + LeakyReLU(0.2)
+    (nets/spg/s2glayers.py:116-154 as used by LS3DCG)."""
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.out_channels, (self.kernel,), (self.stride,),
+                    padding="SAME")(x)
+        h = TorchBatchNorm()(h, train)
+        return leaky_relu02(h)
+
+
+class LSDecoder(nn.Module):
+    """Skip-connected upsampling branch (nets/LS3DCG.py:99-128)."""
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x, x1, x2, x3, train: bool = False):
+        c = self.in_ch
+        x = nearest_resize(x, x3.shape[1])
+        x = jnp.concatenate([x, x3], axis=-1)
+        x = TFConvNormRelu(c // 2, name="up1_0")(x, train)
+        x = TFConvNormRelu(c // 2, name="up1_1")(x, train)
+        x = jnp.repeat(x, 2, axis=1)
+        x = nearest_resize(x, x2.shape[1])
+        x = jnp.concatenate([x, x2], axis=-1)
+        x = TFConvNormRelu(c // 4, name="up2_0")(x, train)
+        x = TFConvNormRelu(c // 4, name="up2_1")(x, train)
+        x = jnp.repeat(x, 2, axis=1)
+        x = nearest_resize(x, x1.shape[1])
+        x = jnp.concatenate([x, x1], axis=-1)
+        x = TFConvNormRelu(c // 8, name="up3_0")(x, train)
+        x = TFConvNormRelu(c // 8, name="up3_1")(x, train)
+        return nn.Conv(self.out_ch, (1,), name="up3_out")(x)
+
+
+class LS3DCGGenerator(nn.Module):
+    """MFCC (B, T, 64) -> (B, T, 232) [jaw3|exp100|body39|hand90]
+    (nets/LS3DCG.py:131-201)."""
+    jaw_dim: int = 3
+    exp_dim: int = 100
+    body_dim: int = 39
+    hand_dim: int = 90
+
+    @nn.compact
+    def __call__(self, aud, train: bool = False):
+        def pool(h):
+            return nn.max_pool(h, (2,), (2,))
+
+        x1 = TFConvNormRelu(64, name="down1_0")(aud, train)
+        x1 = TFConvNormRelu(128, name="down1_1")(x1, train)
+        x = pool(x1)
+        x2 = TFConvNormRelu(128, name="down2_0")(x, train)
+        x2 = TFConvNormRelu(256, name="down2_1")(x2, train)
+        x = pool(x2)
+        x3 = TFConvNormRelu(256, name="down3_0")(x, train)
+        x3 = TFConvNormRelu(512, name="down3_1")(x3, train)
+        x = pool(x3)
+        x = TFConvNormRelu(512, name="down4_0")(x, train)
+        x = TFConvNormRelu(1024, name="down4_1")(x, train)
+        x = jnp.repeat(x, 2, axis=1)
+
+        face = LSDecoder(1024, self.jaw_dim + self.exp_dim, name="face_decoder")(
+            x, x1, x2, x3, train)
+        body = LSDecoder(1024, self.body_dim, name="body_decoder")(
+            x, x1, x2, x3, train)
+        hand = LSDecoder(1024, self.hand_dim, name="hand_decoder")(
+            x, x1, x2, x3, train)
+        return jnp.concatenate([face, body, hand], axis=-1)
+
+
+class LS3DCGDiscriminator(nn.Module):
+    """[poses129 | aud64] (B, T, 193) -> (B, T/8, 1) LSGAN scores
+    (nets/LS3DCG.py:204-225)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def pool(h):
+            return nn.max_pool(h, (2,), (2,))
+
+        h = TFConvNormRelu(128, name="c0")(x, train)
+        h = TFConvNormRelu(256, name="c1")(h, train)
+        h = pool(h)
+        h = TFConvNormRelu(256, name="c2")(h, train)
+        h = TFConvNormRelu(512, name="c3")(h, train)
+        h = pool(h)
+        h = TFConvNormRelu(512, name="c4")(h, train)
+        h = TFConvNormRelu(1024, name="c5")(h, train)
+        h = pool(h)
+        h = nn.Conv(1, (1,), name="out")(h)
+        return nn.sigmoid(h)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from talkshow_tpu.models.face import FaceGenerator
+from talkshow_tpu.models.ls3dcg import LS3DCGDiscriminator, LS3DCGGenerator
 from talkshow_tpu.models.pixelcnn import GatedPixelCNN
 from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
 from talkshow_tpu.ops import vq as vq_ops
@@ -81,7 +82,7 @@ def make_body_vq_step(vq_body: VQVAE, vq_hand: VQVAE, learning_rate: float = 1e-
         return total, (out, new_stats, new_vq)
 
     def step(state: BodyVQState, batch) -> tuple[BodyVQState, dict]:
-        """batch: {'poses': (B, T, 165)} (или already-sliced conv channels)."""
+        """batch: {'poses': (B, T, 165)} (or already-sliced conv channels)."""
         poses = batch["poses"]
         conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
         grads, (metrics, new_stats, new_vq) = jax.grad(loss_fn, has_aux=True)(
@@ -213,5 +214,94 @@ def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics, loss=loss, grad=optax.global_norm(grads))
         return FaceState(params, opt_state, state.step + 1), metrics
+
+    return init_state, jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# LS3DCG baseline: two-optimizer adversarial loop under one jit
+# ---------------------------------------------------------------------------
+
+class LS3DCGState(NamedTuple):
+    g_params: Any
+    g_stats: Any
+    d_params: Any
+    d_stats: Any
+    g_opt: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+def make_ls3dcg_step(gen: LS3DCGGenerator, disc: LS3DCGDiscriminator,
+                     learning_rate: float = 1e-4,
+                     keypoint_w: float = 1.0, gan_w: float = 1.0,
+                     window: int = 88):
+    """LSGAN train step (nets/LS3DCG.py:280-363): D sees [poses|aud]; G loss
+    = L1(jaw)+MSE(exp)+L1(body)+L1(hand) + LSGAN generator term."""
+    g_tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
+    d_tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
+
+    def init_state(rng) -> LS3DCGState:
+        r1, r2 = jax.random.split(rng)
+        gv = gen.init(r1, jnp.zeros((1, window, 64)))
+        dv = disc.init(r2, jnp.zeros((1, window, 129 + 64)))
+        return LS3DCGState(gv["params"], gv["batch_stats"],
+                           dv["params"], dv["batch_stats"],
+                           g_tx.init(gv["params"]), d_tx.init(dv["params"]),
+                           jnp.zeros((), jnp.int32))
+
+    def d_loss_fn(d_params, d_stats, pred, gt_conv, aud):
+        gt_in = jnp.concatenate([gt_conv, aud], axis=-1)
+        pr_in = jnp.concatenate([pred[..., 103:], aud], axis=-1)
+        real, upd = disc.apply({"params": d_params, "batch_stats": d_stats},
+                               gt_in, True, mutable=["batch_stats"])
+        fake, upd = disc.apply({"params": d_params, "batch_stats": upd["batch_stats"]},
+                               pr_in, True, mutable=["batch_stats"])
+        loss = jnp.mean((real - 1.0) ** 2) + jnp.mean(fake ** 2)
+        return loss, upd["batch_stats"]
+
+    def g_loss_fn(g_params, g_stats, d_params, d_stats, batch):
+        aud = batch["aud_feat"]
+        pred, upd = gen.apply({"params": g_params, "batch_stats": g_stats},
+                              aud, True, mutable=["batch_stats"])
+        poses = batch["poses"]
+        conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
+        jaw = poses[..., :3]
+        exp = batch["expression"]
+        jaw_loss = jnp.mean(jnp.abs(pred[..., :3] - jaw))
+        face_loss = jnp.mean((pred[..., 3:103] - exp) ** 2)
+        body_loss = jnp.mean(jnp.abs(pred[..., 103:142] - conv[..., :39]))
+        hand_loss = jnp.mean(jnp.abs(pred[..., 142:] - conv[..., 39:]))
+        l1 = jaw_loss + face_loss + body_loss + hand_loss
+        pr_in = jnp.concatenate([pred[..., 103:], aud], axis=-1)
+        fake = disc.apply({"params": d_params, "batch_stats": d_stats}, pr_in)
+        gen_err = jnp.mean((fake - 1.0) ** 2)
+        total = keypoint_w * l1 + gan_w * gen_err
+        metrics = {"jaw_loss": jaw_loss, "face_loss": face_loss,
+                   "body_loss": body_loss, "hand_loss": hand_loss,
+                   "gen": gen_err}
+        return total, (metrics, upd["batch_stats"], pred)
+
+    def step(state: LS3DCGState, batch):
+        poses = batch["poses"]
+        conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
+        # --- G forward for D update (detached pred) ---
+        pred = gen.apply({"params": state.g_params,
+                          "batch_stats": state.g_stats}, batch["aud_feat"])
+        (d_loss, new_d_stats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params, state.d_stats,
+                                     jax.lax.stop_gradient(pred), conv,
+                                     batch["aud_feat"])
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        # --- G update against the refreshed D ---
+        (g_loss, (metrics, new_g_stats, _)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params, state.g_stats,
+                                     d_params, new_d_stats, batch)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        metrics = dict(metrics, dis=d_loss)
+        return LS3DCGState(g_params, new_g_stats, d_params, new_d_stats,
+                           g_opt, d_opt, state.step + 1), metrics
 
     return init_state, jax.jit(step)

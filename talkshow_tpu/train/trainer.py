@@ -1,0 +1,140 @@
+"""Training runtime: epoch loop, logging, checkpoint/resume.
+
+Replaces trainer/Trainer.py:28-278 with a functional design: the Trainer
+owns the optimizer (not the models), drives the jitted stage step, logs a
+running loss dict every `print_every` steps, and checkpoints the WHOLE
+train state (params + norm stats + VQ codebooks + optimizer + step) with
+orbax every `save_every` epochs — so resume restores optimizer state too
+(which the reference's Trainer path loses, trainer/Trainer.py:103-109).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    import orbax.checkpoint as ocp
+except Exception:  # pragma: no cover
+    ocp = None
+
+from talkshow_tpu.config import Config
+from talkshow_tpu.data.dataset import ShowDataset
+
+log = logging.getLogger("talkshow_tpu")
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Save a train-state pytree with orbax (or npz fallback)."""
+    path = os.path.abspath(path)
+    if ocp is not None:
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+    else:  # pragma: no cover
+        flat, _ = jax.tree_util.tree_flatten(state)
+        np.savez(path + ".npz", *[np.asarray(x) for x in flat])
+
+
+def load_checkpoint(path: str, like: Any) -> Any:
+    """Restore a pytree saved by save_checkpoint, shaped like `like`."""
+    path = os.path.abspath(path)
+    if ocp is not None:
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(path, item=jax.device_get(like))
+        return jax.tree_util.tree_map(jnp.asarray, restored)
+    raise RuntimeError("orbax not available")
+
+
+@dataclass
+class Trainer:
+    """Drives one stage's jitted step over a ShowDataset.
+
+    step_fn(state, batch, rng) or step_fn(state, batch) — detected by
+    `needs_rng`.  Batches come as stacked numpy dicts.
+    """
+    config: Config
+    dataset: ShowDataset
+    init_state_fn: Callable
+    step_fn: Callable
+    needs_rng: bool = True
+    run_dir: str = "experiments/run"
+    state: Any = None
+    epoch: int = 0
+    global_step: int = 0
+    history: list = field(default_factory=list)
+
+    def setup(self, rng=None):
+        os.makedirs(self.run_dir, exist_ok=True)
+        with open(os.path.join(self.run_dir, "config.json"), "w") as f:
+            f.write(self.config.to_json())
+        if self.state is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(self.config.train.seed)
+            self.state = self.init_state_fn(
+                rng, window=self.config.data.pose.generate_length)
+        return self
+
+    def train(self, epochs: int | None = None, log_cb: Callable | None = None):
+        epochs = epochs if epochs is not None else self.config.train.epochs
+        np_rng = np.random.default_rng(self.config.train.seed + self.epoch)
+        rng = jax.random.PRNGKey(self.config.train.seed + 1)
+        print_every = self.config.log.print_every
+        save_every = self.config.log.save_every
+
+        for epoch in range(self.epoch, epochs):
+            running: dict[str, float] = {}
+            count = 0
+            t0 = time.time()
+            for batch in self.dataset.batches(self.config.train.batch_size, np_rng):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if isinstance(v, np.ndarray) or np.isscalar(v)
+                         or isinstance(v, (np.integer, np.floating))}
+                if self.needs_rng:
+                    rng, sub = jax.random.split(rng)
+                    self.state, metrics = self.step_fn(self.state, batch, sub)
+                else:
+                    self.state, metrics = self.step_fn(self.state, batch)
+                self.global_step += 1
+                count += 1
+                for k, v in metrics.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+                if self.global_step % print_every == 0:
+                    avg = {k: v / count for k, v in running.items()}
+                    msg = f"epoch {epoch} step {self.global_step} " + " ".join(
+                        f"{k}={v:.4f}" for k, v in avg.items())
+                    log.info(msg)
+                    if log_cb:
+                        log_cb(epoch, self.global_step, avg)
+            self.epoch = epoch + 1
+            avg = {k: v / max(count, 1) for k, v in running.items()}
+            avg["epoch_seconds"] = time.time() - t0
+            self.history.append({"epoch": epoch, **avg})
+            if (epoch + 1) % save_every == 0 or epoch + 1 == epochs:
+                self.save(os.path.join(self.run_dir, f"ckpt-{epoch}"))
+        with open(os.path.join(self.run_dir, "history.json"), "w") as f:
+            json.dump(self.history, f, indent=1)
+        return self.state
+
+    def save(self, path: str):
+        save_checkpoint(path, {
+            "state": self.state,
+            "epoch": jnp.asarray(self.epoch),
+            "global_step": jnp.asarray(self.global_step),
+        })
+
+    def resume(self, path: str):
+        restored = load_checkpoint(path, {
+            "state": self.state,
+            "epoch": jnp.asarray(self.epoch),
+            "global_step": jnp.asarray(self.global_step),
+        })
+        self.state = restored["state"]
+        self.epoch = int(restored["epoch"])
+        self.global_step = int(restored["global_step"])
+        return self

@@ -1,0 +1,55 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from talkshow_tpu.models.ls3dcg import (LS3DCGDiscriminator, LS3DCGGenerator,
+                                        nearest_resize)
+from talkshow_tpu.train.steps import make_ls3dcg_step
+
+
+def test_nearest_resize_matches_torch():
+    import torch
+    x = torch.randn(2, 8, 11)
+    for out in (22, 7, 11, 30):
+        ref = torch.nn.functional.interpolate(x, size=out, mode="nearest")
+        ours = nearest_resize(jnp.asarray(x.numpy().transpose(0, 2, 1)), out)
+        np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1),
+                                   ref.numpy(), atol=1e-6)
+
+
+def test_generator_shapes():
+    gen = LS3DCGGenerator()
+    x = jnp.zeros((2, 88, 64))
+    v = gen.init(jax.random.PRNGKey(0), x)
+    y = gen.apply(v, x)
+    assert y.shape == (2, 88, 232)
+
+
+def test_discriminator_shapes():
+    d = LS3DCGDiscriminator()
+    x = jnp.zeros((2, 88, 193))
+    v = d.init(jax.random.PRNGKey(0), x)
+    y = d.apply(v, x)
+    assert y.shape == (2, 11, 1)
+    assert (np.asarray(y) >= 0).all() and (np.asarray(y) <= 1).all()
+
+
+def test_gan_train_step_runs_and_learns():
+    gen = LS3DCGGenerator()
+    disc = LS3DCGDiscriminator()
+    init_state, step = make_ls3dcg_step(gen, disc, learning_rate=1e-3, window=16)
+    state = init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "poses": jnp.asarray(rng.standard_normal((2, 16, 165)) * 0.1, jnp.float32),
+        "expression": jnp.asarray(rng.standard_normal((2, 16, 100)) * 0.1, jnp.float32),
+        "aud_feat": jnp.asarray(rng.standard_normal((2, 16, 64)), jnp.float32),
+    }
+    state, m0 = step(state, batch)
+    for _ in range(8):
+        state, m = step(state, batch)
+    rec0 = float(m0["jaw_loss"] + m0["face_loss"] + m0["body_loss"] + m0["hand_loss"])
+    rec = float(m["jaw_loss"] + m["face_loss"] + m["body_loss"] + m["hand_loss"])
+    assert rec < rec0
+    assert np.isfinite(float(m["dis"])) and np.isfinite(float(m["gen"]))
+    assert int(state.step) == 9
