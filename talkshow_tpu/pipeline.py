@@ -118,12 +118,13 @@ class Pipeline:
         T = face_out.shape[0]
 
         if only_face:
+            # static body (orient only) + predicted jaw/expression
+            # (demo.py:167-169, 229)
             base = np.zeros((T, 232), np.float32)
             base[:, :3] = jaw
-            full = np.asarray(pose_ops.part2full(jnp.asarray(base), stand=True))
-            full[:, 165:] = exp
-            # static body: orient only (demo.py:167-169,229)
-            return np.repeat(full[None], 1, axis=0)
+            base[:, -100:] = exp
+            full = np.array(pose_ops.part2full(jnp.asarray(base), stand=True))
+            return full[None]
 
         feat = audio_ops.get_mfcc(wav_file, sr=sr_body, fps=30)  # (Tm, 64)
         conv = np.asarray(self.generate_body(feat, speaker, num_samples, seed))

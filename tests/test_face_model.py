@@ -1,0 +1,128 @@
+"""Face generator: conversion parity of the conv middle/heads + smoke."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+from talkshow_tpu.convert import talkshow as conv
+from talkshow_tpu.models.face import FaceAudioMiddle, FaceDecoderHeads, FaceGenerator
+from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+
+torch.manual_seed(1)
+
+
+class TCNRln(tnn.Module):
+    """nets/layers.py ConvNormRelu norm='ln' replica (residual optional)."""
+    def __init__(self, cin, cout, residual=False):
+        super().__init__()
+        self.residual = residual
+        self.conv = tnn.Conv1d(cin, cout, 3, 1, 1)
+        self.norm = tnn.LayerNorm(cout)
+        if residual:
+            if cin != cout:
+                self.residual_layer = tnn.Conv1d(cin, cout, 3, 1, 1)
+            else:
+                self.residual_layer = tnn.Identity()
+
+    def forward(self, x):
+        out = self.norm(self.conv(x).transpose(1, 2)).transpose(1, 2)
+        if self.residual:
+            out = out + self.residual_layer(x)
+        return tF.relu(out)
+
+
+class TFaceMiddle(tnn.Module):
+    def __init__(self, in_dim=256, out_dim=256, n_classes=4):
+        super().__init__()
+        self.id_mlp = tnn.Conv1d(n_classes, 64, 1, 1)
+        self.first_net = tnn.Module()
+        self.first_net.conv_layers = tnn.ModuleList()
+        dims = [in_dim + 64, out_dim, out_dim]
+        for i in range(3):
+            self.first_net.conv_layers.append(
+                TCNRln(dims[i] if i == 0 else out_dim, out_dim, residual=True))
+        # rename children for state-dict key compat conv_layers.{i} -> conv_{i}
+    def forward(self, x, id_onehot):
+        idf = id_onehot[:, :, None].float().repeat(1, 1, x.shape[2])
+        h = torch.cat([x, self.id_mlp(idf)], dim=1)
+        for l in self.first_net.conv_layers:
+            h = l(h)
+        return h
+
+
+def _remap_middle_sd(sd):
+    """torch replica keys -> reference naming used by the converter."""
+    out = {}
+    for k, v in sd.items():
+        out[k] = v
+    return out
+
+
+def test_face_middle_conversion_parity():
+    t = TFaceMiddle().eval()
+    sd = {k.replace("conv_layers.", "conv_layers."): v
+          for k, v in t.state_dict().items()}
+    # converter expects audio_middle.first_net.conv_layers.{i}.{conv,norm,...}
+    sd = {("audio_middle." + k): v for k, v in sd.items()}
+    params = conv._face_middle(sd, "audio_middle")
+    model = FaceAudioMiddle(256, 4, identity=True)
+
+    x_t = torch.randn(2, 256, 10)
+    ids = torch.eye(4)[[0, 2]]
+    with torch.no_grad():
+        ref = t(x_t, ids).numpy()
+    out = model.apply({"params": params},
+                      jnp.asarray(x_t.numpy().transpose(0, 2, 1)),
+                      jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref, atol=2e-4)
+
+
+def test_face_heads_conversion_parity():
+    heads_t = tnn.ModuleDict()
+    dec0 = tnn.ModuleList([TCNRln(256, 64), TCNRln(64, 64), TCNRln(64, 64)])
+    dec1 = tnn.ModuleList([TCNRln(256, 256), TCNRln(256, 256), TCNRln(256, 256)])
+    out0 = tnn.Conv1d(64, 3, 1, 1)
+    out1 = tnn.Conv1d(256, 100, 1, 1)
+
+    sd = {}
+    for i, m in enumerate(dec0):
+        for k, v in m.state_dict().items():
+            sd[f"decoder.0.{i}.{k}"] = v
+    for i, m in enumerate(dec1):
+        for k, v in m.state_dict().items():
+            sd[f"decoder.1.{i}.{k}"] = v
+    for k, v in out0.state_dict().items():
+        sd[f"final_out.0.{k}"] = v
+    for k, v in out1.state_dict().items():
+        sd[f"final_out.1.{k}"] = v
+
+    params = conv._face_heads(sd)
+    model = FaceDecoderHeads()
+    x_t = torch.randn(2, 256, 9)
+    with torch.no_grad():
+        h = x_t
+        for m in dec0: h = m(h)
+        jaw = out0(h)
+        g = x_t
+        for m in dec1: g = m(g)
+        exp = out1(g)
+        ref = torch.cat([jaw, exp], 1).numpy()
+    out = model.apply({"params": params},
+                      jnp.asarray(x_t.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref, atol=2e-4)
+
+
+def test_face_generator_smoke():
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4,
+                         intermediate_size=64, conv_dim=(16, 16),
+                         conv_kernel=(10, 3), conv_stride=(5, 2),
+                         num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    face = FaceGenerator(wav2vec_cfg=cfg)
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16000)),
+                      jnp.float32)
+    v = face.init(jax.random.PRNGKey(0), wav, jnp.zeros((1, 4)), 30)
+    out = face.apply(v, wav, jnp.zeros((1, 4)), 30)
+    assert out.shape == (1, 30, 103)

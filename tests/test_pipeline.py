@@ -1,0 +1,65 @@
+"""End-to-end pipeline smoke on tiny models + real demo wav (if present)."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+from talkshow_tpu.pipeline import Pipeline
+
+TINY_W2V = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4,
+                          intermediate_size=64, conv_dim=(16, 16),
+                          conv_kernel=(10, 3), conv_stride=(5, 2),
+                          num_conv_pos_embeddings=16,
+                          num_conv_pos_embedding_groups=4)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return Pipeline.create(0, wav2vec_cfg=TINY_W2V, num_hiddens=64,
+                           pixel_dim=16, pixel_layers=3, code_num=64)
+
+
+def _write_wav(path, seconds=1.0, sr=16000):
+    import wave
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes((x * 30000).astype("<i2").tobytes())
+    return path
+
+
+def test_generate_full(tmp_path, pipe):
+    wav = _write_wav(str(tmp_path / "a.wav"), seconds=1.0)
+    out = pipe.generate(wav, speaker="oliver", num_samples=2, seed=1)
+    assert out.shape[0] == 2
+    assert out.shape[2] == 265
+    assert out.shape[1] == 30  # 1 s @ 30 fps
+    assert np.all(np.isfinite(out))
+    # lower body is the canned pose
+    from talkshow_tpu.ops.pose import LOWER_POSE
+    np.testing.assert_allclose(out[0, :, 3:18],
+                               np.broadcast_to(LOWER_POSE[:15], (30, 15)),
+                               atol=1e-5)
+    # diversity: two samples differ
+    assert np.abs(out[0] - out[1]).max() > 1e-4
+
+
+def test_generate_face_only(tmp_path, pipe):
+    wav = _write_wav(str(tmp_path / "b.wav"), seconds=0.5)
+    out = pipe.generate(wav, num_samples=1, only_face=True)
+    assert out.shape[2] == 265
+    assert np.all(np.isfinite(out))
+
+
+@pytest.mark.skipif(
+    not os.path.isfile("/root/reference/demo_audio/1st-page.wav"),
+    reason="demo audio not present")
+def test_generate_demo_audio(pipe):
+    out = pipe.generate("/root/reference/demo_audio/1st-page.wav",
+                        speaker="conan", num_samples=1)
+    # 205056 samples -> 384 frames
+    assert out.shape[1] == 384
+    assert np.all(np.isfinite(out))
