@@ -77,6 +77,43 @@ class Pipeline:
             return conv, tokens
         return run
 
+    @functools.cached_property
+    def _body_prefix_fn(self):
+        body = self.body
+
+        @functools.partial(jax.jit, static_argnames=("prefix_len",))
+        def run(mfcc_feat, speaker_id, rng, prefix_tokens, prefix_len):
+            conv, tokens = generate_conv_poses(
+                body, mfcc_feat, speaker_id, rng,
+                prefix_tokens=prefix_tokens, prefix_len=prefix_len)
+            return conv, tokens
+        return run
+
+    def generate_body_continuity(self, wav_file: str, speaker: int,
+                                 num_samples: int = 1, seed: int = 0,
+                                 sr_body: int = 16000):
+        """Chunked long-audio generation (smplx_body_pixel.infer_on_audio
+        continuity=True, :245-269): featurize the first 2 s and the rest
+        separately (get_mfcc_sepa), sample the first chunk's tokens, then
+        continue sampling the full grid with the first chunk teacher-forced
+        as an autoregressive prefix (generate :158-165)."""
+        feat, gap = audio_ops.get_mfcc_sepa(wav_file, sr=sr_body, fps=30)
+        S = num_samples
+        ids = jnp.full((S,), speaker, jnp.int32)
+        rng = jax.random.PRNGKey(seed)
+        r0, r1 = jax.random.split(rng)
+
+        feat0 = jnp.asarray(feat[:gap], jnp.float32)[None].repeat(S, 0)
+        conv0, tokens0 = self._body_fn(feat0, ids, r0)
+        h0 = tokens0.shape[1]
+
+        feat_all = jnp.asarray(feat, jnp.float32)[None].repeat(S, 0)
+        H = feat_all.shape[1] // 4
+        prefix = jnp.zeros((S, H, 2), jnp.int32)
+        prefix = prefix.at[:, :h0].set(tokens0)
+        conv_all, _ = self._body_prefix_fn(feat_all, ids, r1, prefix, h0)
+        return np.asarray(conv_all)
+
     # ------------------------------------------------------------------
     def generate_face(self, wav16k: np.ndarray, frame: int | None = None):
         """Raw 16 kHz waveform (T,) -> (T_frames, 103) jaw+expression."""
@@ -101,7 +138,7 @@ class Pipeline:
     def generate(self, wav_file: str, speaker: int | str = 0,
                  num_samples: int = 1, only_face: bool = False,
                  stand: bool = False, seed: int = 0,
-                 sr_body: int = 22000) -> np.ndarray:
+                 sr_body: int = 22000, continuity: bool = False) -> np.ndarray:
         """wav file -> (num_samples, T, 265) SMPL-X parameters @30fps.
 
         speaker: dataset id int (0-3) or name ('oliver', ...).
@@ -126,8 +163,12 @@ class Pipeline:
             full = np.array(pose_ops.part2full(jnp.asarray(base), stand=True))
             return full[None]
 
-        feat = audio_ops.get_mfcc(wav_file, sr=sr_body, fps=30)  # (Tm, 64)
-        conv = np.asarray(self.generate_body(feat, speaker, num_samples, seed))
+        if continuity:
+            conv = self.generate_body_continuity(wav_file, speaker,
+                                                 num_samples, seed)
+        else:
+            feat = audio_ops.get_mfcc(wav_file, sr=sr_body, fps=30)  # (Tm, 64)
+            conv = np.asarray(self.generate_body(feat, speaker, num_samples, seed))
         # match body length to face length (demo.py:207-211)
         S, Tb, _ = conv.shape
         if Tb < T:

@@ -305,3 +305,45 @@ def make_ls3dcg_step(gen: LS3DCGGenerator, disc: LS3DCGDiscriminator,
                            g_opt, d_opt, state.step + 1), metrics
 
     return init_state, jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Body-AE (FGD feature extractor; nets/body_ae.py)
+# ---------------------------------------------------------------------------
+
+class BodyAEState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_body_ae_step(ae, learning_rate: float = 1e-4):
+    """Plain autoencoder over the 129 conv channels; loss = L1 rec +
+    L1 velocity (body_ae.py:112-140)."""
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
+
+    def init_state(rng, window: int = 88) -> BodyAEState:
+        v = ae.init(rng, jnp.zeros((1, window, ae.in_dim)))
+        return BodyAEState(v["params"], v["batch_stats"], tx.init(v["params"]),
+                           jnp.zeros((), jnp.int32))
+
+    def loss_fn(params, batch_stats, gt):
+        recon, updates = ae.apply({"params": params, "batch_stats": batch_stats},
+                                  gt, True, mutable=["batch_stats"])
+        rec = jnp.mean(jnp.abs(recon - gt))
+        vel = jnp.mean(jnp.abs((recon[:, 1:] - recon[:, :-1])
+                               - (gt[:, 1:] - gt[:, :-1])))
+        return rec + vel, ({"rec_loss": rec, "velocity_loss": vel},
+                           updates["batch_stats"])
+
+    def step(state: BodyAEState, batch):
+        poses = batch["poses"]
+        conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, conv)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return BodyAEState(params, new_stats, opt_state, state.step + 1), metrics
+
+    return init_state, jax.jit(step)
