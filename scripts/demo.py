@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""wav -> SMPL-X motion (+optional video) — mirror of the reference demo.
+
+    python scripts/demo.py --audio_file demo_audio/1st-page.wav --id 0 \
+        --num_sample 3 --out_dir visualise/video/demo
+
+Loads reference .pth checkpoints when given (--face_ckpt/--body_ckpt,
+converted on the fly via talkshow_tpu.convert), otherwise runs random
+weights (pipeline smoke / latency measurement).  Saves the generated
+(S, T, 265) array as .npy like scripts/demo.py:242-245; rendering is an
+optional extra (see talkshow_tpu/render.py) kept off the TPU path.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--audio_file", required=True)
+    p.add_argument("--id", type=int, default=0,
+                   help="speaker id 0-3 (oliver/chemistry/seth/conan)")
+    p.add_argument("--num_sample", type=int, default=1)
+    p.add_argument("--only_face", action="store_true")
+    p.add_argument("--stand", action="store_true")
+    p.add_argument("--continuity", action="store_true",
+                   help="chunked AR continuation for long audio")
+    p.add_argument("--face_ckpt", default=None, help="reference face .pth")
+    p.add_argument("--body_ckpt", default=None, help="reference body-pixel .pth")
+    p.add_argument("--vq_ckpt", default=None, help="reference body-vq .pth")
+    p.add_argument("--out_dir", default="visualise/video/demo")
+    p.add_argument("--render", action="store_true",
+                   help="render a video if an SMPL-X npz + renderer deps exist")
+    p.add_argument("--smplx_npz", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import numpy as np
+    from talkshow_tpu.pipeline import Pipeline
+
+    if args.face_ckpt or args.body_ckpt:
+        pipe = Pipeline.from_torch_checkpoints(
+            face_ckpt=args.face_ckpt, body_ckpt=args.body_ckpt,
+            vq_ckpt=args.vq_ckpt)
+    else:
+        print("NOTE: no checkpoints given; using random weights")
+        pipe = Pipeline.create(args.seed)
+
+    motion = pipe.generate(args.audio_file, speaker=args.id,
+                           num_samples=args.num_sample,
+                           only_face=args.only_face, stand=args.stand,
+                           continuity=args.continuity, seed=args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.audio_file))[0]
+    out = os.path.join(args.out_dir, stem + ".npy")
+    # reference saves the samples concatenated on time (demo.py:242-245)
+    np.save(out, motion.reshape(-1, motion.shape[-1]))
+    print(f"saved motion {motion.shape} -> {out}")
+
+    if args.render:
+        from talkshow_tpu.render import render_motion_video
+        render_motion_video(motion, args.audio_file,
+                            os.path.join(args.out_dir, stem + ".mp4"),
+                            smplx_npz=args.smplx_npz)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,44 @@ class Pipeline:
         body = create_body_models(r_body, **body_kwargs)
         return cls(face, face_vars, body)
 
+    @classmethod
+    def from_torch_checkpoints(cls, face_ckpt: str | None = None,
+                               body_ckpt: str | None = None,
+                               vq_ckpt: str | None = None) -> "Pipeline":
+        """Build from reference TalkSHOW .pth checkpoints (converted on
+        load via talkshow_tpu.convert.talkshow).
+
+        body_ckpt: the s2g_body_pixel ckpt (contains the frozen-VQ-decoded
+        prior + audio encoder). vq_ckpt: the s2g_body_vq ckpt for codebooks
+        + decoders; when omitted, the VQ weights are also looked up inside
+        body_ckpt (they were loaded frozen there, smplx_body_pixel.py:59-62).
+        """
+        import torch
+
+        from talkshow_tpu.convert import talkshow as tsconv
+
+        pipe = cls.create(0)
+        if face_ckpt:
+            ckpt = torch.load(face_ckpt, map_location="cpu", weights_only=False)
+            face_params = tsconv.convert_face_checkpoint(ckpt)
+            pipe = Pipeline(pipe.face_model, face_params, pipe.body)
+        body = pipe.body
+        if vq_ckpt or body_ckpt:
+            src = vq_ckpt or body_ckpt
+            ckpt = torch.load(src, map_location="cpu", weights_only=False)
+            gen = ckpt.get("generator", ckpt)
+            if "g_body" in gen:
+                conv = tsconv.convert_body_vq_checkpoint(ckpt)
+                (vb, st_b), (vh, st_h) = conv["body"], conv["hand"]
+                body = body._replace(vq_body_vars=vb, vq_hand_vars=vh,
+                                     vq_body_state=st_b, vq_hand_state=st_h)
+        if body_ckpt:
+            ckpt = torch.load(body_ckpt, map_location="cpu", weights_only=False)
+            conv = tsconv.convert_body_pixel_checkpoint(ckpt)
+            body = body._replace(prior_vars=conv["prior"],
+                                 audio_enc_vars=conv["audio"])
+        return cls(pipe.face_model, pipe.face_vars, body)
+
     # ------------------------------------------------------------------
     # jitted stage functions, cached per shape bucket
     # ------------------------------------------------------------------
