@@ -1,12 +1,17 @@
-"""Benchmark: 10 s of audio -> whole-body SMPL-X motion, p50 latency.
+"""Benchmark: 10 s of audio -> whole-body SMPL-X motion.
 
 Prints ONE JSON line:
   {"metric": "p50_latency_10s_clip_ms", "value": N, "unit": "ms",
    "vs_baseline": N, ...}
 
 Baseline = the rebuild target from BASELINE.md: < 250 ms p50 per 10 s clip
-on one chip.  vs_baseline > 1 means faster than target.  Also reports
-motion-seconds generated per wall-second per chip as a secondary metric.
+on one chip.  vs_baseline > 1 means faster than target.
+
+The whole pipeline (MFCC featurization + wav2vec face generator + cached
+AR PixelCNN decode + VQ decode) is ONE jitted XLA program, so a clip costs
+a single dispatch + readback.  Because the chip may be remote-attached
+(RTT-dominated single calls), we also report amortized throughput over a
+batch of pipelined dispatches — the number that matters for serving.
 """
 from __future__ import annotations
 
@@ -41,41 +46,73 @@ def main():
     t = np.arange(n_samples_wav) / 16000.0
     wav16 = (0.3 * np.sin(2 * np.pi * 220 * t) *
              (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
-    wav22 = audio_ops.resample(jnp.asarray(wav16), 16000, 22000)
 
     @jax.jit
-    def featurize(wav22):
-        return audio_ops.mfcc(wav22, 22000, fps=30)
+    def run_clip_impl(face_vars, body_vars, wav16, key):
+        """Full pipeline, one dispatch: wav -> (face (1,T,103), conv poses).
+        Model variables are jit arguments (NOT closed over) so weights are
+        inputs rather than giant embedded HLO constants (the remote-compile
+        path rejects multi-hundred-MB programs)."""
+        b = body._replace(**body_vars)
+        wav22 = audio_ops.resample(wav16, 16000, 22000)
+        feat = audio_ops.mfcc(wav22, 22000, fps=30)
+        f = face.apply(face_vars, wav16[None], jnp.zeros((1, 4)), frames)
+        conv, _ = generate_conv_poses(b, feat[None],
+                                      jnp.zeros((1,), jnp.int32), key)
+        return f, conv
 
-    @jax.jit
-    def run_face(face_vars, wav):
-        return face.apply(face_vars, wav, jnp.zeros((1, 4)), frames)
+    body_vars = {k: getattr(body, k) for k in (
+        "vq_body_vars", "vq_hand_vars", "vq_body_state", "vq_hand_state",
+        "audio_enc_vars", "prior_vars")}
 
-    @jax.jit
-    def run_body(feat, rng):
-        conv, tokens = generate_conv_poses(
-            body, feat[None], jnp.zeros((1,), jnp.int32), rng)
-        return conv
+    def run_clip(wav16, key):
+        return run_clip_impl(face_vars, body_vars, wav16, key)
 
-    def pipeline_once(key):
-        feat = featurize(wav22)
-        f = run_face(face_vars, jnp.asarray(wav16)[None])
-        b = run_body(feat, key)
-        jax.block_until_ready((f, b))
-        return f, b
+    wav_dev = jax.device_put(jnp.asarray(wav16))
 
-    # ---- warmup (compile)
-    pipeline_once(r_sample)
+    def once(key):
+        f, b = run_clip(wav_dev, key)
+        return np.asarray(f), np.asarray(b)   # forced readback
 
-    # ---- timed runs
+    once(r_sample)  # warmup/compile
+
+    # ---- single-clip latency (includes one host<->device round trip)
     lat = []
     for i in range(10):
         k = jax.random.fold_in(r_sample, i)
         t0 = time.perf_counter()
-        pipeline_once(k)
+        once(k)
         lat.append((time.perf_counter() - t0) * 1000.0)
     p50 = float(np.percentile(lat, 50))
-    motion_sec_per_sec = CLIP_SECONDS / (p50 / 1000.0)
+
+    # ---- amortized throughput: pipeline N dispatches, one readback wave
+    N = 16
+    keys = [jax.random.fold_in(r_sample, 100 + i) for i in range(N)]
+    t0 = time.perf_counter()
+    outs = [run_clip(wav_dev, k) for k in keys]
+    for f, b in outs:
+        np.asarray(f), np.asarray(b)
+    amortized_ms = (time.perf_counter() - t0) * 1000.0 / N
+
+    # ---- pure device time: K clips chained inside ONE dispatch (lax.scan),
+    # so host<->device RTT is paid once
+    K = 8
+
+    @jax.jit
+    def run_k(face_vars, body_vars, wav16, key):
+        def step(carry, k):
+            f, c = run_clip_impl.__wrapped__(face_vars, body_vars, wav16, k)
+            return carry, (f[:, -1, -1], c[:, -1, -1])
+        _, outs = jax.lax.scan(step, 0, jax.random.split(key, K))
+        return outs
+
+    r = run_k(face_vars, body_vars, wav_dev, r_sample)
+    jax.tree_util.tree_map(np.asarray, r)
+    t0 = time.perf_counter()
+    r = run_k(face_vars, body_vars, wav_dev, r_sample)
+    jax.tree_util.tree_map(np.asarray, r)
+    device_ms = (time.perf_counter() - t0) * 1000.0 / K
+    motion_sec_per_sec = CLIP_SECONDS / (device_ms / 1000.0)
 
     print(json.dumps({
         "metric": "p50_latency_10s_clip_ms",
@@ -83,6 +120,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_P50_MS / p50, 3),
         "extra": {
+            "amortized_ms_per_clip": round(amortized_ms, 2),
+            "device_ms_per_clip": round(device_ms, 2),
             "motion_sec_per_sec_per_chip": round(motion_sec_per_sec, 2),
             "baseline_p50_ms": BASELINE_P50_MS,
             "latencies_ms": [round(x, 1) for x in lat],
