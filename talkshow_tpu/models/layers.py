@@ -184,3 +184,67 @@ def linear_interpolate(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     hi = jnp.minimum(lo + 1, in_len - 1)
     w = (pos - lo)[None, :, None]
     return x[:, lo, :] * (1 - w) + x[:, hi, :] * w
+
+
+class UNet1D(nn.Module):
+    """5-down/5-up conv U-Net over time (nets/layers.py:154-208 family):
+    stride-2 downsamples, nearest upsample + skip concat."""
+    channels: int
+    out_channels: int
+    depth: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skips = []
+        h = x
+        for i in range(self.depth):
+            h = CNR1d(self.channels * min(2 ** i, 8), leaky=True,
+                      name=f"down_{i}")(h, train)
+            skips.append(h)
+            h = nn.max_pool(h, (2,), (2,))
+        h = CNR1d(self.channels * min(2 ** self.depth, 8), leaky=True,
+                  name="bottleneck")(h, train)
+        for i in reversed(range(self.depth)):
+            h = jnp.repeat(h, 2, axis=1)
+            skip = skips[i]
+            if h.shape[1] != skip.shape[1]:
+                h = linear_interpolate(h, skip.shape[1])
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = CNR1d(self.channels * min(2 ** i, 8), leaky=True,
+                      name=f"up_{i}")(h, train)
+        return nn.Conv(self.out_channels, (1,), name="out")(h)
+
+
+class SeqEncoder1D(nn.Module):
+    """Sequence -> single latent vector via strided convs + global pooling
+    (nets/layers.py:454-510 family)."""
+    hidden: int
+    out_dim: int
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = x
+        for i in range(self.num_layers):
+            h = CNR1d(self.hidden, leaky=True, name=f"conv_{i}")(h, train)
+            h = nn.max_pool(h, (2,), (2,))
+        h = jnp.mean(h, axis=1)
+        return nn.Dense(self.out_dim, name="out")(h)
+
+
+class SeqDecoder1D(nn.Module):
+    """Latent vector -> sequence via broadcast + conv stack
+    (nets/layers.py SeqDecoder1D family)."""
+    hidden: int
+    out_channels: int
+    length: int
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        h = nn.Dense(self.hidden, name="in")(z)
+        h = jnp.broadcast_to(h[:, None, :], (z.shape[0], self.length, self.hidden))
+        for i in range(self.num_layers):
+            h = CNR1d(self.hidden, leaky=True, residual=True,
+                      name=f"conv_{i}")(h, train)
+        return nn.Conv(self.out_channels, (1,), name="out")(h)

@@ -298,3 +298,117 @@ def _peak_pick(env: np.ndarray, sr: int, hop: int) -> np.ndarray:
         last = i
         peaks.append(i)
     return np.asarray(peaks, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Additional feature types of the reference frontend
+# ---------------------------------------------------------------------------
+
+def mel_spectrogram(x: jnp.ndarray, sr: int, hop: int, n_fft: int = N_FFT,
+                    n_mels: int = N_MELS) -> jnp.ndarray:
+    """Raw power mel spectrogram (num_frames, n_mels); the reference's
+    type='mel' feature (utils.py:179-184, no log compression)."""
+    power = power_spectrogram(x, n_fft, hop)
+    return power @ jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+
+
+def get_mel(audio_fn: str, sr: int = 22000, fps: int = 30) -> np.ndarray:
+    x, sr0 = load_wav(audio_fn)
+    x = resample(jnp.asarray(x), sr0, sr) if sr0 != sr else jnp.asarray(x)
+    hop = 734 if fps == 30 else 1467
+    return np.asarray(mel_spectrogram(x, sr, hop))
+
+
+def audio_chunking(x: jnp.ndarray, frame_rate: int = 30,
+                   chunk_size: int = 16000) -> jnp.ndarray:
+    """Slice one chunk of audio per video frame, centered on the frame
+    (utils.py:133-145; the meshtalk frontend)."""
+    samples_per_frame = chunk_size // frame_rate
+    padding = (chunk_size - samples_per_frame) // 2
+    xp = jnp.pad(x, (padding, padding))
+    anchors = np.arange(chunk_size // 2, xp.shape[-1] - chunk_size // 2,
+                        samples_per_frame)
+    idx = anchors[:, None] + np.arange(-chunk_size // 2, chunk_size // 2)[None]
+    return xp[jnp.asarray(idx)]
+
+
+def get_mel_chunked(audio_fn: str, sr: int = 16000, fps: int = 30) -> np.ndarray:
+    """type='mel_mul' (utils.py:185-192): loudness-normalize, chunk one
+    second per frame, log-mel per chunk."""
+    x, sr0 = load_wav(audio_fn)
+    x = resample(jnp.asarray(x), sr0, sr) if sr0 != sr else jnp.asarray(x)
+    x = 0.01 * x / jnp.mean(jnp.abs(x))
+    chunks = audio_chunking(x, frame_rate=fps, chunk_size=sr)
+    hop = sr // 100
+    win = sr // 20
+
+    def one(chunk):
+        frames = frame_signal(chunk, 2048, hop)
+        w = np.zeros(2048, np.float32)
+        w[(2048 - win) // 2:(2048 - win) // 2 + win] = _hann_window(win)
+        spec = jnp.fft.rfft(frames * jnp.asarray(w), axis=-1)
+        power = spec.real ** 2 + spec.imag ** 2
+        mel = power @ jnp.asarray(mel_filterbank(sr, 2048, N_MELS))
+        return jnp.log(jnp.clip(mel, 1e-10, None))
+
+    return np.asarray(jax.vmap(one)(chunks))
+
+
+def mfcc_psf(x: np.ndarray, sr: int = 16000, n_mfcc: int = 64,
+             winstep: float = 1.01 / 15, winlen: float = 0.025,
+             n_fft: int = 2048, preemph: float = 0.97) -> np.ndarray:
+    """python_speech_features-style MFCC (utils.py:86-107): preemphasis,
+    25 ms frames at `winstep`, rectangular window, slaney-less HTK mels with
+    nfilt=numcep, log, DCT-II ortho with ceplifter=22, c0 replaced by log
+    frame energy (appendEnergy)."""
+    x = np.asarray(x, np.float64)
+    x = np.append(x[0], x[1:] - preemph * x[:-1])
+    frame_len = int(round(winlen * sr))
+    step = int(round(winstep * sr))
+    num_frames = 1 + max(0, int(np.ceil((len(x) - frame_len) / step)))
+    pad_len = (num_frames - 1) * step + frame_len
+    x = np.pad(x, (0, max(0, pad_len - len(x))))
+    idx = np.arange(frame_len)[None] + step * np.arange(num_frames)[:, None]
+    frames = x[idx]
+    energy = np.sum(frames ** 2, axis=1)
+    energy = np.where(energy == 0, np.finfo(np.float64).eps, energy)
+    spec = np.abs(np.fft.rfft(frames, n_fft, axis=1)) ** 2 / n_fft
+    fb = np.asarray(mel_filterbank(sr, n_fft, n_mfcc), np.float64)
+    feat = spec @ fb
+    feat = np.where(feat == 0, np.finfo(np.float64).eps, feat)
+    feat = np.log(feat)
+    d = np.asarray(dct_matrix(n_mfcc, n_mfcc), np.float64)
+    ceps = feat @ d
+    # ceplifter
+    L = 22
+    n = np.arange(n_mfcc)
+    lift = 1 + (L / 2.0) * np.sin(np.pi * n / L)
+    ceps = ceps * lift
+    ceps[:, 0] = np.log(energy)
+    return ceps.astype(np.float32)
+
+
+def get_mfcc_psf(audio_fn: str, sr: int = 16000, smlpx: bool = True,
+                 fps: int = 25) -> np.ndarray:
+    x, sr0 = load_wav(audio_fn)
+    if sr0 != sr:
+        x = np.asarray(resample(jnp.asarray(x), sr0, sr))
+    winstep = 1.01 / 15 if smlpx else 0.04
+    return mfcc_psf(x, sr=sr, winstep=winstep)
+
+
+def smooth_geom(geom: jnp.ndarray, mask: jnp.ndarray | None = None,
+                filter_size: int = 9, sigma: float = 2.0) -> jnp.ndarray:
+    """Gaussian temporal smoothing of vertex geometry (T, V, 3), optionally
+    blended through a per-vertex mask (utils.py:272-298)."""
+    assert filter_size % 2 == 1
+    r = filter_size // 2
+    k = np.exp(-0.5 * np.arange(-r, r + 1) ** 2 / sigma ** 2)
+    k = jnp.asarray((k / k.sum()).astype(np.float32))
+    gp = jnp.pad(geom, ((r, r), (0, 0), (0, 0)), mode="edge")
+    idx = jnp.arange(geom.shape[0])[:, None] + jnp.arange(filter_size)[None]
+    smoothed = jnp.einsum("tkvc,k->tvc", gp[idx], k)
+    if mask is None:
+        return smoothed
+    m = mask[None, :, None]
+    return smoothed * m + geom * (1 - m)

@@ -152,3 +152,100 @@ def axis_angle_to_rotation_6d(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 def rotation_6d_to_axis_angle(d6: jnp.ndarray) -> jnp.ndarray:
     return matrix_to_axis_angle(rotation_6d_to_matrix(d6))
+
+
+# ---------------------------------------------------------------------------
+# Quaternion algebra (reference rotation_conversion.py:154-253)
+# ---------------------------------------------------------------------------
+
+def standardize_quaternion(q: jnp.ndarray) -> jnp.ndarray:
+    """Canonical sign: non-negative real part."""
+    return jnp.where(q[..., :1] < 0, -q, q)
+
+
+def quaternion_raw_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    aw, ax, ay, az = jnp.split(a, 4, -1)
+    bw, bx, by, bz = jnp.split(b, 4, -1)
+    return jnp.concatenate([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return standardize_quaternion(quaternion_raw_multiply(a, b))
+
+
+def quaternion_invert(q: jnp.ndarray) -> jnp.ndarray:
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def quaternion_apply(q: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+    """Rotate points (..., 3) by quaternions (..., 4)."""
+    zeros = jnp.zeros(point.shape[:-1] + (1,), point.dtype)
+    p = jnp.concatenate([zeros, point], axis=-1)
+    out = quaternion_raw_multiply(quaternion_raw_multiply(q, p),
+                                  quaternion_invert(q))
+    return out[..., 1:]
+
+
+# ---------------------------------------------------------------------------
+# Euler angles (reference rotation_conversion.py:97-151)
+# ---------------------------------------------------------------------------
+
+def _axis_angle_rotation(axis: str, angle: jnp.ndarray) -> jnp.ndarray:
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    one, zero = jnp.ones_like(angle), jnp.zeros_like(angle)
+    if axis == "X":
+        flat = (one, zero, zero, zero, c, -s, zero, s, c)
+    elif axis == "Y":
+        flat = (c, zero, s, zero, one, zero, -s, zero, c)
+    elif axis == "Z":
+        flat = (c, -s, zero, s, c, zero, zero, zero, one)
+    else:
+        raise ValueError(axis)
+    return jnp.stack(flat, -1).reshape(angle.shape + (3, 3))
+
+
+def euler_angles_to_matrix(euler_angles: jnp.ndarray, convention: str) -> jnp.ndarray:
+    """(..., 3) angles + convention like 'XYZ' -> (..., 3, 3)."""
+    ms = [
+        _axis_angle_rotation(c, euler_angles[..., i])
+        for i, c in enumerate(convention)
+    ]
+    return ms[0] @ ms[1] @ ms[2]
+
+
+def _angle_from_tan(axis, other_axis, data, horizontal, tait_bryan):
+    i1, i2 = {"X": (2, 1), "Y": (0, 2), "Z": (1, 0)}[axis]
+    if horizontal:
+        i2, i1 = i1, i2
+    even = (axis + other_axis) in ("XY", "YZ", "ZX")
+    if horizontal == even:
+        return jnp.arctan2(data[..., i1], data[..., i2])
+    if tait_bryan:
+        return jnp.arctan2(-data[..., i2], data[..., i1])
+    return jnp.arctan2(data[..., i2], -data[..., i1])
+
+
+def matrix_to_euler_angles(matrix: jnp.ndarray, convention: str) -> jnp.ndarray:
+    """(..., 3, 3) -> (..., 3) euler angles for the given convention."""
+    i0 = "XYZ".index(convention[0])
+    i2 = "XYZ".index(convention[2])
+    tait_bryan = i0 != i2
+    if tait_bryan:
+        central = jnp.arcsin(jnp.clip(
+            matrix[..., i0, i2] * (-1.0 if i0 - i2 in (-1, 2) else 1.0),
+            -1.0, 1.0))
+    else:
+        central = jnp.arccos(jnp.clip(matrix[..., i0, i0], -1.0, 1.0))
+    o = (
+        _angle_from_tan(convention[0], convention[1], matrix[..., i2],
+                        False, tait_bryan),
+        central,
+        _angle_from_tan(convention[2], convention[1], matrix[..., i0, :],
+                        True, tait_bryan),
+    )
+    return jnp.stack(o, -1)

@@ -1,0 +1,97 @@
+"""Runtime utilities: profiling, determinism, failure detection.
+
+The reference has none of these beyond RNG seeding + a NaN-gradient print
+(SURVEY.md §5); here they are first-class:
+
+  * `trace(...)`: context manager around jax.profiler for TensorBoard-
+    viewable TPU traces;
+  * `seed_everything`: one seed -> (numpy rng, jax key), replacing the
+    reference's global-mutation seeding (trainer/Trainer.py:79-84);
+  * `skip_nonfinite_updates`: an optax wrapper that SKIPS a step when
+    grads contain NaN/Inf and counts occurrences — replacing the
+    reference's `print('fuck')` NaN "handling"
+    (nets/smplx_body_pixel.py:221-222).
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/talkshow_trace", enabled: bool = True):
+    """Profile everything inside the context to a TensorBoard trace dir."""
+    if not enabled:
+        yield
+        return
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region for traces: `with annotate('decode'): ...`."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+def seed_everything(seed: int):
+    """-> (np.random.Generator, jax PRNG key)."""
+    return np.random.default_rng(seed), jax.random.PRNGKey(seed)
+
+
+class StepTimer:
+    """Wall-clock per-step timing with warmup skip (host-side)."""
+
+    def __init__(self, skip: int = 2):
+        self.skip = skip
+        self.times: list[float] = []
+        self._t0 = None
+        self._n = 0
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self._t0
+        self._n += 1
+        if self._n > self.skip:
+            self.times.append(dt)
+
+    @property
+    def mean_ms(self) -> float:
+        return 1000.0 * float(np.mean(self.times)) if self.times else 0.0
+
+
+def skip_nonfinite_updates(inner: optax.GradientTransformation
+                           ) -> optax.GradientTransformation:
+    """Wrap an optimizer: if any grad is non-finite, apply a zero update
+    and increment a counter instead of poisoning the params."""
+
+    def init(params):
+        return {"inner": inner.init(params),
+                "nonfinite_count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]))
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, inner_state = inner.update(safe_grads, state["inner"], params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        return updates, {
+            "inner": inner_state,
+            "nonfinite_count": state["nonfinite_count"] + (1 - finite.astype(jnp.int32)),
+        }
+
+    return optax.GradientTransformation(init, update)
