@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Diversity sampling demo: N samples x 4 speakers from one audio clip in a
+single batched program (mirror of scripts/diversity.py, minus rendering).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--audio_file", required=True)
+    p.add_argument("--num_sample", type=int, default=3)
+    p.add_argument("--out_dir", default="visualise/video/diversity")
+    p.add_argument("--face_ckpt", default=None)
+    p.add_argument("--body_ckpt", default=None)
+    p.add_argument("--vq_ckpt", default=None)
+    args = p.parse_args()
+
+    import numpy as np
+    from talkshow_tpu.eval.metrics import diversity
+    from talkshow_tpu.ops import audio as audio_ops
+    from talkshow_tpu.pipeline import Pipeline
+
+    if args.body_ckpt:
+        pipe = Pipeline.from_torch_checkpoints(
+            face_ckpt=args.face_ckpt, body_ckpt=args.body_ckpt,
+            vq_ckpt=args.vq_ckpt)
+    else:
+        print("NOTE: random weights")
+        pipe = Pipeline.create(0)
+
+    feat = audio_ops.get_mfcc(args.audio_file, sr=22000, fps=30)
+    all_motion = []
+    scores = {}
+    for speaker in range(4):
+        conv = np.asarray(pipe.generate_body(feat, speaker,
+                                             num_samples=args.num_sample,
+                                             seed=speaker))
+        scores[f"diversity_speaker{speaker}"] = diversity(conv)
+        all_motion.append(conv)
+    motion = np.stack(all_motion)          # (4, S, T, 129)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.audio_file))[0]
+    np.save(os.path.join(args.out_dir, stem + "_diversity.npy"), motion)
+    print(json.dumps(scores))
+
+
+if __name__ == "__main__":
+    main()

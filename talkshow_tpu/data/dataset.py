@@ -53,7 +53,8 @@ class ShowDataset:
     def from_root(cls, data_root: str, speakers, split: str = "train",
                   feat: str = "mfcc", cache_pkl: str | None = None,
                   generate_length: int = 88, fps: int = 30,
-                  audio_sr: int = 22000, limit: int | None = None):
+                  audio_sr: int = 22000, limit: int | None = None,
+                  convert_to_6d: bool = False):
         """Walk the SHOW layout and preprocess every clip of `split`."""
         if cache_pkl and os.path.isfile(cache_pkl):
             with open(cache_pkl, "rb") as f:
@@ -77,7 +78,8 @@ class ShowDataset:
                         continue
                     clip = cls.load_clip(
                         os.path.join(cdir, pkls[0]), os.path.join(cdir, wavs[0]),
-                        speaker, feat=feat, fps=fps, audio_sr=audio_sr)
+                        speaker, feat=feat, fps=fps, audio_sr=audio_sr,
+                        convert_to_6d=convert_to_6d)
                     if clip is not None:
                         clips.append(clip)
                     if limit and len(clips) >= limit:
@@ -91,7 +93,7 @@ class ShowDataset:
     @staticmethod
     def load_clip(pkl_path: str, wav_path: str, speaker: str,
                   feat: str = "mfcc", fps: int = 30,
-                  audio_sr: int = 22000) -> Clip | None:
+                  audio_sr: int = 22000, convert_to_6d: bool = False) -> Clip | None:
         """One clip pkl+wav -> Clip (mesh_dataset._load_them_all :166-222)."""
         with open(pkl_path, "rb") as f:
             data = pickle.load(f)
@@ -112,6 +114,12 @@ class ShowDataset:
         if packed.shape[1] != 99 or not np.isfinite(packed).all():
             return None
         poses = hand_pca_to_full(packed).astype(np.float32)
+        if convert_to_6d:
+            # (T, 165) axis-angle -> (T, 330) rot6d (mesh_dataset.py:187-191)
+            import jax.numpy as jnp
+            from talkshow_tpu.ops.pose import axis_angle_poses_to_6d
+            poses = np.asarray(axis_angle_poses_to_6d(jnp.asarray(poses)),
+                               np.float32)
 
         if feat == "mfcc":
             aud = audio_ops.get_mfcc(wav_path, sr=audio_sr, fps=fps)

@@ -94,3 +94,63 @@ def face_loss(pred, gt):
     l1 = jnp.mean(jnp.abs(pred[..., :6] - gt[..., :6]))
     mse = jnp.mean((pred[..., -100:] - gt[..., -100:]) ** 2)
     return l1 + mse, {"MSELoss": l1, "exp_loss": mse}
+
+
+class MeshtalkEncoder(nn.Module):
+    """Per-frame audio encoder from MeshTalk (s2g_face.py:41-104): one
+    second of 16 kHz audio per video frame -> log-mel (80 mels, hop 160,
+    win 800) -> conv(k5) + 6 dilated conv blocks with averaged residuals ->
+    temporal mean -> linear to the latent code."""
+    latent_dim: int = 128
+
+    @nn.compact
+    def __call__(self, chunks, train: bool = False):
+        """chunks: (B, T, 16000) -> (B, T, latent_dim)."""
+        from talkshow_tpu.ops import audio as audio_ops
+        import jax
+
+        B, T, N = chunks.shape
+        flat = chunks.reshape(B * T, N)
+
+        def melspec(x):
+            frames = audio_ops.frame_signal(x, 2048, 160)
+            w = jnp.zeros(2048).at[(2048 - 800) // 2:(2048 - 800) // 2 + 800].set(
+                jnp.asarray(audio_ops._hann_window(800)))
+            spec = jnp.fft.rfft(frames * w, axis=-1)
+            power = spec.real ** 2 + spec.imag ** 2
+            mel = power @ jnp.asarray(audio_ops.mel_filterbank(16000, 2048, 80))
+            return jnp.log(jnp.clip(mel, 1e-10, None))          # (frames, 80)
+
+        x = jax.vmap(melspec)(flat)                              # (BT, F, 80)
+        x = nn.Conv(128, (5,), padding="VALID", name="convert_dimensions")(x)
+        x = nn.leaky_relu(x, 0.2)
+        for i in range(6):
+            dilation = 2 * (i % 3 + 1)
+            h = nn.Conv(128, (5,), padding="VALID", kernel_dilation=(dilation,),
+                        name=f"conv_{i}")(x)
+            h = nn.leaky_relu(h, 0.2)
+            if train:
+                h = nn.Dropout(0.2, deterministic=False)(h)
+            crop = (x.shape[1] - h.shape[1]) // 2
+            x = (x[:, crop:x.shape[1] - crop][:, :h.shape[1]] + h) / 2.0
+        x = jnp.mean(x, axis=1)                                  # (BT, 128)
+        code = nn.Dense(self.latent_dim, name="code")(x)
+        return code.reshape(B, T, self.latent_dim)
+
+
+class FaceGeneratorMeshtalk(nn.Module):
+    """Face generator with the MeshTalk audio frontend
+    (encoder_choice='meshtalk', s2g_face.py:165-166, 201-203)."""
+    num_classes: int = 4
+    jaw_dim: int = 3
+    exp_dim: int = 100
+
+    def setup(self):
+        self.audio_encoder = MeshtalkEncoder(latent_dim=256)
+        self.audio_middle = FaceAudioMiddle(256, self.num_classes, True)
+        self.heads = FaceDecoderHeads(self.jaw_dim, self.exp_dim)
+
+    def __call__(self, chunks, id_onehot, train: bool = False):
+        feature = self.audio_encoder(chunks, train)
+        feature = self.audio_middle(feature, id_onehot, train)
+        return self.heads(feature, train)

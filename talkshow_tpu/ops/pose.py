@@ -223,3 +223,36 @@ def assemble_full(jaw, conv_body, expression, stand=False):
     """Compose the demo-time full pose: scripts/demo.py:224-227."""
     pred = jnp.concatenate([jaw, conv_body, expression], axis=-1)
     return part2full(pred, stand)
+
+
+# ---------------------------------------------------------------------------
+# Alternative rotation representations of the pose vector
+# ---------------------------------------------------------------------------
+
+def axis_angle_poses_to_6d(poses165: jnp.ndarray) -> jnp.ndarray:
+    """(T, 165) axis-angle -> (T, 330) rot6d (mesh_dataset.py:187-191)."""
+    from talkshow_tpu.ops.rotation import axis_angle_to_rotation_6d
+    aa = poses165.reshape(poses165.shape[0], 55, 3)
+    return axis_angle_to_rotation_6d(aa).reshape(poses165.shape[0], 330)
+
+
+def pose6d_to_axis_angle(poses330: jnp.ndarray) -> jnp.ndarray:
+    """(T, 330) rot6d -> (T, 165) axis-angle (scripts/demo.py:216-219)."""
+    from talkshow_tpu.ops.rotation import rotation_6d_to_axis_angle
+    d6 = poses330.reshape(poses330.shape[0], -1, 6)
+    return rotation_6d_to_axis_angle(d6).reshape(poses330.shape[0], -1)
+
+
+def pose5d_to_axis_angle(poses: jnp.ndarray, expression: bool = True) -> jnp.ndarray:
+    """Legacy '5d' layout (axis3 + sin + cos per joint) -> axis-angle;
+    the eval-time to3d (data_utils/get_j.py:4-17).  Input (T, 275[+100])."""
+    exp = None
+    if expression:
+        exp = poses[:, -100:]
+        poses = poses[:, :-100]
+    p = poses.reshape(poses.shape[0], -1, 5)
+    angle = jnp.arctan2(p[:, :, 3], p[:, :, 4])
+    aa = (p[:, :, :3] * angle[..., None]).reshape(poses.shape[0], -1)
+    if exp is not None:
+        aa = jnp.concatenate([aa, exp], axis=-1)
+    return aa
