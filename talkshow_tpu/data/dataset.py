@@ -122,7 +122,12 @@ class ShowDataset:
                                np.float32)
 
         if feat == "mfcc":
-            aud = audio_ops.get_mfcc(wav_path, sr=audio_sr, fps=fps)
+            # native (C++/OpenMP) featurizer when built; JAX fallback
+            from talkshow_tpu import native
+            if native.available():
+                aud = native.get_mfcc_native(wav_path, sr=audio_sr, fps=fps)
+            else:
+                aud = audio_ops.get_mfcc(wav_path, sr=audio_sr, fps=fps)
         elif feat == "raw":
             aud = audio_ops.get_raw_16k(wav_path)
         else:
