@@ -69,6 +69,7 @@ class Trainer:
     epoch: int = 0
     global_step: int = 0
     history: list = field(default_factory=list)
+    mesh: Any = None        # jax.sharding.Mesh for dp x tp training
 
     def setup(self, rng=None):
         os.makedirs(self.run_dir, exist_ok=True)
@@ -78,7 +79,25 @@ class Trainer:
             rng = rng if rng is not None else jax.random.PRNGKey(self.config.train.seed)
             self.state = self.init_state_fn(
                 rng, window=self.config.data.pose.generate_length)
+        pc = self.config.parallel
+        if self.mesh is None and pc.dp * pc.tp > 1:
+            from talkshow_tpu.parallel import mesh as pmesh
+            self.mesh = pmesh.make_mesh(dp=pc.dp, tp=pc.tp)
+        if self.mesh is not None:
+            from talkshow_tpu.parallel import mesh as pmesh
+            self.state = self.state._replace(
+                params=pmesh.shard_params(self.mesh, self.state.params))
         return self
+
+    def _put_batch(self, batch: dict) -> dict:
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from talkshow_tpu.parallel import mesh as pmesh
+        out = {}
+        for k, v in batch.items():
+            arr = jnp.asarray(v)
+            out[k] = jax.device_put(arr, pmesh.batch_sharding(self.mesh, arr.ndim))
+        return out
 
     def train(self, epochs: int | None = None, log_cb: Callable | None = None):
         epochs = epochs if epochs is not None else self.config.train.epochs
@@ -92,9 +111,10 @@ class Trainer:
             count = 0
             t0 = time.time()
             for batch in self.dataset.batches(self.config.train.batch_size, np_rng):
-                batch = {k: jnp.asarray(v) for k, v in batch.items()
-                         if isinstance(v, np.ndarray) or np.isscalar(v)
-                         or isinstance(v, (np.integer, np.floating))}
+                batch = self._put_batch(
+                    {k: v for k, v in batch.items()
+                     if isinstance(v, np.ndarray) or np.isscalar(v)
+                     or isinstance(v, (np.integer, np.floating))})
                 if self.needs_rng:
                     rng, sub = jax.random.split(rng)
                     self.state, metrics = self.step_fn(self.state, batch, sub)
