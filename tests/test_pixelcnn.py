@@ -4,7 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from talkshow_tpu.models.pixelcnn import GatedPixelCNN, sample_tokens
+from talkshow_tpu.models.pixelcnn import (GatedPixelCNN, sample_tokens,
+                                          sample_tokens_reference)
 
 K, DIM, LAYERS, CLASSES, AUDC = 32, 16, 4, 4, 8
 
@@ -110,6 +111,29 @@ def test_sample_tokens_shapes_and_determinism(model_and_vars):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     assert np.any(np.asarray(t1) != np.asarray(t3))
     assert np.all(np.asarray(t1) >= 0) and np.all(np.asarray(t1) < K)
+
+
+def test_optimized_sampler_equals_reference(model_and_vars):
+    """The per-column optimized sampler must produce the SAME tokens as the
+    straightforward full-row sampler for the same rng."""
+    model, variables = model_and_vars
+    B, H = 2, 9
+    rng = np.random.default_rng(11)
+    audio = jnp.asarray(rng.standard_normal((B, H, AUDC)), jnp.float32)
+    label = jnp.asarray([1, 3], jnp.int32)
+    for seed in (0, 1, 2):
+        k = jax.random.PRNGKey(seed)
+        t_ref = sample_tokens_reference(model, variables, label, audio, k)
+        t_opt = sample_tokens(model, variables, label, audio, k)
+        np.testing.assert_array_equal(np.asarray(t_opt), np.asarray(t_ref))
+    # with prefix continuation too
+    prefix = jnp.asarray(rng.integers(0, K, (B, H, 2)), jnp.int32)
+    k = jax.random.PRNGKey(5)
+    t_ref = sample_tokens_reference(model, variables, label, audio, k,
+                                    prefix_tokens=prefix, prefix_len=4)
+    t_opt = sample_tokens(model, variables, label, audio, k,
+                          prefix_tokens=prefix, prefix_len=4)
+    np.testing.assert_array_equal(np.asarray(t_opt), np.asarray(t_ref))
 
 
 def test_sample_tokens_prefix_teacher_forcing(model_and_vars):
