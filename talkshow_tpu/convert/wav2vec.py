@@ -58,7 +58,11 @@ def convert_wav2vec2(state_dict: dict, cfg: Wav2Vec2Config) -> dict:
         }
     fe["group_norm"] = _ln(sd, "feature_extractor.conv_layers.0.layer_norm")
 
+    hidden = t2j(sd["feature_projection.projection.bias"]).shape[0]
     params = {
+        "masked_spec_embed": (t2j(sd["masked_spec_embed"])
+                              if "masked_spec_embed" in sd
+                              else np.zeros(hidden, np.float32)),
         "feature_extractor": fe,
         "feature_projection": {
             "layer_norm": _ln(sd, "feature_projection.layer_norm"),

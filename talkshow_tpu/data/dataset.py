@@ -61,7 +61,7 @@ class ShowDataset:
                 clips = pickle.load(f)
             return cls(clips, generate_length)
 
-        clips = []
+        jobs = []
         for speaker in speakers:
             sp_dir = os.path.join(data_root, speaker)
             if not os.path.isdir(sp_dir):
@@ -74,16 +74,19 @@ class ShowDataset:
                     cdir = os.path.join(split_dir, clip_name)
                     pkls = [f for f in os.listdir(cdir) if f.endswith(".pkl")]
                     wavs = [f for f in os.listdir(cdir) if f.endswith(".wav")]
-                    if not pkls or not wavs:
-                        continue
-                    clip = cls.load_clip(
-                        os.path.join(cdir, pkls[0]), os.path.join(cdir, wavs[0]),
-                        speaker, feat=feat, fps=fps, audio_sr=audio_sr,
-                        convert_to_6d=convert_to_6d)
-                    if clip is not None:
-                        clips.append(clip)
-                    if limit and len(clips) >= limit:
-                        break
+                    if pkls and wavs:
+                        jobs.append((speaker, os.path.join(cdir, pkls[0]),
+                                     os.path.join(cdir, wavs[0])))
+        if limit:
+            jobs = jobs[:limit]
+        # threaded preprocessing: the native featurizer releases the GIL
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as ex:
+            clips = list(ex.map(
+                lambda j: cls.load_clip(j[1], j[2], j[0], feat=feat, fps=fps,
+                                        audio_sr=audio_sr,
+                                        convert_to_6d=convert_to_6d), jobs))
+        clips = [c for c in clips if c is not None]
         if cache_pkl:
             with open(cache_pkl, "wb") as f:
                 pickle.dump(clips, f)

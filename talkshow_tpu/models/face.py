@@ -76,7 +76,7 @@ class FaceGenerator(nn.Module):
         self.heads = FaceDecoderHeads(self.jaw_dim, self.exp_dim)
 
     def __call__(self, waveform, id_onehot, time_steps: int, train: bool = False):
-        hidden = self.audio_encoder(waveform, time_steps)   # (B, T, 768)
+        hidden = self.audio_encoder(waveform, time_steps, train)  # (B, T, 768)
         feature = self.audio_feature_map(hidden)            # (B, T, 256)
         feature = self.audio_middle(feature, id_onehot, train)
         return self.heads(feature, train)

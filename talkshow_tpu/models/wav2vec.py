@@ -112,6 +112,9 @@ class Wav2Vec2Encoder(nn.Module):
     """
     cfg: Wav2Vec2Config = field(default_factory=Wav2Vec2Config)
 
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+
     def setup(self):
         self.feature_extractor = FeatureExtractor(self.cfg)
         self.feature_projection = FeatureProjection(self.cfg)
@@ -119,11 +122,34 @@ class Wav2Vec2Encoder(nn.Module):
         self.encoder_layer_norm = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps)
         self.encoder_layers = [EncoderLayer(self.cfg, name=f"layers_{i}")
                                for i in range(self.cfg.num_layers)]
+        self.masked_spec_embed = self.param(
+            "masked_spec_embed",
+            nn.initializers.uniform(scale=1.0), (self.cfg.hidden_size,))
 
-    def __call__(self, waveform, frame_num: int):
+    def _spec_augment(self, x):
+        """SpecAugment-style time masking (train only): random spans of
+        `mask_time_length` frames are replaced by the learned mask vector
+        (reference nets/spg/wav2vec.py:109-119 / HF _compute_mask_indices,
+        re-expressed with jax PRNG)."""
+        import jax
+
+        b, t, _ = x.shape
+        num_masks = max(int(self.mask_time_prob * t / self.mask_time_length), 2)
+        rng = self.make_rng("spec_augment")
+        starts = jax.random.randint(
+            rng, (b, num_masks), 0, max(t - self.mask_time_length, 1))
+        pos = jnp.arange(t)[None, None, :]                       # (1,1,T)
+        span = (pos >= starts[..., None]) & (pos < starts[..., None]
+                                             + self.mask_time_length)
+        mask = jnp.any(span, axis=1)                             # (B, T)
+        return jnp.where(mask[..., None], self.masked_spec_embed, x)
+
+    def __call__(self, waveform, frame_num: int, train: bool = False):
         feats = self.feature_extractor(waveform)            # (B, T50, 512)
         feats = linear_interpolate(feats, frame_num)        # 50 Hz -> 30 fps
         x = self.feature_projection(feats)
+        if train and self.mask_time_prob > 0 and self.has_rng("spec_augment"):
+            x = self._spec_augment(x)
         x = x + self.pos_conv_embed(x)
         x = self.encoder_layer_norm(x)
         for layer in self.encoder_layers:

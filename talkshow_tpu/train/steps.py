@@ -199,8 +199,9 @@ def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
 
     def loss_fn(params, waveform, id_onehot, gt, rng):
         frames = gt.shape[1]
+        r_drop, r_mask = jax.random.split(rng)
         pred = face.apply({"params": params}, waveform, id_onehot, frames, True,
-                          rngs={"dropout": rng})
+                          rngs={"dropout": r_drop, "spec_augment": r_mask})
         l1 = jnp.mean(jnp.abs(pred[..., :6] - gt[..., :6]))
         mse = jnp.mean((pred[..., -100:] - gt[..., -100:]) ** 2)
         return l1 + mse, {"MSELoss": l1, "exp_loss": mse}
@@ -241,7 +242,7 @@ def make_ls3dcg_step(gen: LS3DCGGenerator, disc: LS3DCGDiscriminator,
     g_tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
     d_tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
 
-    def init_state(rng) -> LS3DCGState:
+    def init_state(rng, window: int = window) -> LS3DCGState:
         r1, r2 = jax.random.split(rng)
         gv = gen.init(r1, jnp.zeros((1, window, 64)))
         dv = disc.init(r2, jnp.zeros((1, window, 129 + 64)))

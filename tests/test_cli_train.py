@@ -1,0 +1,48 @@
+"""CLI smoke: scripts/train.py on synthetic data for each stage."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _write_config(path, model_name, extra_model=None, batch=4, gen_len=16):
+    cfg = {
+        "dataset_load_mode": "json",
+        "Data": {"data_root": "", "pklname": "_t.pkl", "whole_video": False,
+                 "pose": {"normalization": False, "convert_to_6d": False,
+                          "generate_length": gen_len, "pre_pose_length": 0,
+                          "pose_dim": 99, "expression": True},
+                 "aud": {"feat_method": "mfcc", "aud_feat_dim": 64}},
+        "Model": {"model_type": "body", "model_name": model_name,
+                  "composition": True, "code_num": 2048, "bh_model": True,
+                  "AudioOpt": "Adam", "encoder_choice": "mfcc",
+                  "gan": False, **(extra_model or {})},
+        "DataLoader": {"batch_size": batch, "num_workers": 0},
+        "Train": {"epochs": 1, "max_gradient_norm": 5,
+                  "learning_rate": {"generator_learning_rate": 1e-4,
+                                    "discriminator_learning_rate": 1e-4}},
+        "Log": {"save_every": 1, "print_every": 5, "name": "t"},
+    }
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+def _run(args, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, timeout=timeout, env=env,
+                          cwd="/root/repo")
+
+
+@pytest.mark.parametrize("stage", ["s2g_body_vq", "s2g_LS3DCG"])
+def test_train_cli_synthetic(tmp_path, stage):
+    cfgp = _write_config(str(tmp_path / "c.json"), stage)
+    r = _run(["scripts/train.py", "--config_file", cfgp, "--synthetic",
+              "--epochs", "1", "--run_dir", str(tmp_path / "run")])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "done; checkpoints" in r.stdout
+    assert os.path.isdir(str(tmp_path / "run"))
