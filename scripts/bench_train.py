@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Training-step throughput at the reference config (batch 128, window 88).
+
+Prints one JSON line per stage: step time (device, amortized over K chained
+steps in one dispatch) and windows/sec.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timed_steps(step, state, batch, rng=None, K: int = 4):
+    if rng is None:
+        s, _ = step(state, batch)
+    else:
+        s, _ = step(state, batch, rng)
+    jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                           s.step)
+    t0 = time.perf_counter()
+    s = state
+    for i in range(K):
+        if rng is None:
+            s, m = step(s, batch)
+        else:
+            s, m = step(s, batch, jax.random.fold_in(rng, i))
+    np.asarray(m[list(m)[0]])
+    return (time.perf_counter() - t0) * 1000 / K
+
+
+def main():
+    from talkshow_tpu.models.pixelcnn import GatedPixelCNN
+    from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
+    from talkshow_tpu.train import steps as tsteps
+
+    B, T = 128, 88
+    rng = np.random.default_rng(0)
+    batch = {
+        "poses": jnp.asarray(rng.standard_normal((B, T, 129)) * 0.2, jnp.float32),
+        "aud_feat": jnp.asarray(rng.standard_normal((B, T, 64)), jnp.float32),
+        "speaker": jnp.asarray(rng.integers(0, 4, B), jnp.int32),
+    }
+
+    out = {}
+
+    # stage 1: body VQ (full size: hidden 1024, codebook 2048)
+    vq_body = VQVAE(in_dim=39)
+    vq_hand = VQVAE(in_dim=90)
+    init1, step1 = tsteps.make_body_vq_step(vq_body, vq_hand)
+    st1 = init1(jax.random.PRNGKey(0), window=T)
+    ms = timed_steps(step1, st1, batch)
+    out["body_vq_step_ms"] = round(ms, 1)
+    out["body_vq_windows_per_sec"] = round(B / (ms / 1000), 1)
+
+    # stage 2: PixelCNN prior (dim 256, 15 layers) with frozen VQs
+    prior = GatedPixelCNN()
+    audio_enc = AudioEncoder(num_hiddens=256)
+    frozen_vars = {"body": {"params": st1.params["body"],
+                            "batch_stats": st1.batch_stats["body"]},
+                   "hand": {"params": st1.params["hand"],
+                            "batch_stats": st1.batch_stats["hand"]}}
+    init2, step2 = tsteps.make_body_pixel_step(
+        prior, audio_enc, vq_body, vq_hand, frozen_vars, st1.vq)
+    st2 = init2(jax.random.PRNGKey(1), window=T)
+    ms = timed_steps(step2, st2, batch, rng=jax.random.PRNGKey(2))
+    out["body_pixel_step_ms"] = round(ms, 1)
+    out["body_pixel_windows_per_sec"] = round(B / (ms / 1000), 1)
+
+    out["batch"] = B
+    out["window"] = T
+    out["backend"] = jax.default_backend()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

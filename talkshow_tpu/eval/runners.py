@@ -14,14 +14,12 @@ SMPL-X-dependent metrics activate only when a loaded SmplxModel is passed
 """
 from __future__ import annotations
 
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from talkshow_tpu.eval.fgd import FGDEvaluator
-from talkshow_tpu.eval.metrics import batch_lvd, diversity, lvd
+from talkshow_tpu.eval.metrics import diversity, lvd
 from talkshow_tpu.models.body import BodyModels, generate_conv_poses
 from talkshow_tpu.models.vqvae import VQVAE
 from talkshow_tpu.ops import audio as audio_ops

@@ -22,8 +22,6 @@ whole thing a clean lax.scan carry for on-device streaming.
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from talkshow_tpu.models.layers import (CNR1d, SeqTranslator1D, TorchBatchNorm,
-                                        leaky_relu02, linear_interpolate)
+from talkshow_tpu.models.layers import (CNR1d, SeqTranslator1D, leaky_relu02,
+                                        linear_interpolate)
 
 
 class S2GUNet(nn.Module):
