@@ -199,3 +199,29 @@ def synthetic_dataset(num_clips: int = 4, frames: int = 240, seed: int = 0,
             betas=np.zeros(300, np.float32),
         ))
     return ShowDataset(clips)
+
+
+# ---------------------------------------------------------------------------
+# Pose normalization (reference Data.pose.normalization / norm_stats.npy)
+# ---------------------------------------------------------------------------
+
+def compute_norm_stats(dataset: ShowDataset) -> tuple[np.ndarray, np.ndarray]:
+    """Per-channel mean/std over all clips' poses (norm_method='all',
+    mesh_dataset.py:280-283 consumption; stats saved as norm_stats.npy next
+    to checkpoints in the reference, scripts/demo.py:107-111)."""
+    allp = np.concatenate([c.poses for c in dataset.clips], axis=0)
+    mean = allp.mean(axis=0)
+    std = allp.std(axis=0)
+    std = np.where(std < 1e-6, 1.0, std)
+    return mean.astype(np.float32), std.astype(np.float32)
+
+
+def normalize_poses(poses: np.ndarray, stats) -> np.ndarray:
+    mean, std = stats
+    return (poses - mean) / std
+
+
+def denormalize_poses(poses: np.ndarray, stats) -> np.ndarray:
+    """nets/utils.denormalize equivalent."""
+    mean, std = stats
+    return poses * std + mean

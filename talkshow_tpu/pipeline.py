@@ -220,3 +220,49 @@ class Pipeline:
         pred = jnp.asarray(np.concatenate([jaw_b, conv, exp_b], axis=-1))
         full = pose_ops.part2full(pred.reshape(S * T, -1), stand)
         return np.asarray(full).reshape(S, T, 265)
+
+
+# ---------------------------------------------------------------------------
+# Own checkpoint format (orbax)
+# ---------------------------------------------------------------------------
+
+def save_pipeline(pipe: Pipeline, path: str) -> None:
+    """Persist all pipeline weights (face + body stages) as one orbax tree."""
+    from talkshow_tpu.train.trainer import save_checkpoint
+
+    body = pipe.body
+    save_checkpoint(path, {
+        "face_vars": pipe.face_vars,
+        "vq_body_vars": body.vq_body_vars,
+        "vq_hand_vars": body.vq_hand_vars,
+        "vq_body_state": body.vq_body_state._asdict(),
+        "vq_hand_state": body.vq_hand_state._asdict(),
+        "audio_enc_vars": body.audio_enc_vars,
+        "prior_vars": body.prior_vars,
+    })
+
+
+def load_pipeline(path: str, template: Pipeline | None = None) -> Pipeline:
+    """Restore a pipeline saved by save_pipeline. `template` provides the
+    module definitions (defaults to the full-size Pipeline.create)."""
+    from talkshow_tpu.ops.vq import VQState
+    from talkshow_tpu.train.trainer import load_checkpoint
+
+    pipe = template if template is not None else Pipeline.create(0)
+    body = pipe.body
+    like = {
+        "face_vars": pipe.face_vars,
+        "vq_body_vars": body.vq_body_vars,
+        "vq_hand_vars": body.vq_hand_vars,
+        "vq_body_state": body.vq_body_state._asdict(),
+        "vq_hand_state": body.vq_hand_state._asdict(),
+        "audio_enc_vars": body.audio_enc_vars,
+        "prior_vars": body.prior_vars,
+    }
+    t = load_checkpoint(path, like)
+    body = body._replace(
+        vq_body_vars=t["vq_body_vars"], vq_hand_vars=t["vq_hand_vars"],
+        vq_body_state=VQState(**t["vq_body_state"]),
+        vq_hand_state=VQState(**t["vq_hand_state"]),
+        audio_enc_vars=t["audio_enc_vars"], prior_vars=t["prior_vars"])
+    return Pipeline(pipe.face_model, t["face_vars"], body)
