@@ -165,12 +165,26 @@ class Pipeline:
         return out[0]
 
     def generate_body(self, mfcc_feat: np.ndarray, speaker: int,
-                      num_samples: int = 1, seed: int = 0):
-        """MFCC (T, 64) -> conv poses (num_samples, 4*(T//4), 129)."""
+                      num_samples: int = 1, seed: int = 0,
+                      pad_to_bucket: int | None = None):
+        """MFCC (T, 64) -> conv poses (num_samples, 4*(T//4), 129).
+
+        pad_to_bucket: serving mode — pad the frame axis up to a multiple
+        of this bucket so arbitrary audio lengths reuse ONE compiled
+        program.  The AR decode is causal, so padded tail rows cannot
+        affect real frames; only the VQ decoder's local conv receptive
+        field sees the boundary, and the padded tail is cropped off.
+        """
+        T = mfcc_feat.shape[0]
+        if pad_to_bucket:
+            Tp = _round_up(max(T, 4), pad_to_bucket * 4)
+            mfcc_feat = np.pad(np.asarray(mfcc_feat), [[0, Tp - T], [0, 0]])
         feat = jnp.asarray(mfcc_feat, jnp.float32)[None].repeat(num_samples, 0)
         ids = jnp.full((num_samples,), speaker, jnp.int32)
         rng = jax.random.PRNGKey(seed)
         conv, _ = self._body_fn(feat, ids, rng)
+        if pad_to_bucket:
+            conv = conv[:, : (T // 4) * 4]
         return conv
 
     def generate(self, wav_file: str, speaker: int | str = 0,

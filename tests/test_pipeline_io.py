@@ -114,3 +114,23 @@ def test_long_audio_generation(tmp_path):
     out = pipe.generate_body(feat, 0, num_samples=1)
     assert out.shape == (1, 1800, 129)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bucketed_generation_reuses_compilation():
+    pipe = _tiny_pipe()
+    rng = np.random.default_rng(1)
+    # different lengths land in the same bucket -> same compiled shape
+    out1 = pipe.generate_body(rng.standard_normal((50, 64)).astype(np.float32),
+                              0, pad_to_bucket=32)
+    out2 = pipe.generate_body(rng.standard_normal((61, 64)).astype(np.float32),
+                              0, pad_to_bucket=32)
+    assert out1.shape == (1, 48, 129)
+    assert out2.shape == (1, 60, 129)
+    # causality of padding: unpadded prefix identical for same input/seed
+    x = rng.standard_normal((64, 64)).astype(np.float32)
+    a = np.asarray(pipe.generate_body(x, 0, seed=7))
+    b = np.asarray(pipe.generate_body(np.pad(x, [[0, 64], [0, 0]]), 0, seed=7))
+    # token sampling for the first 16 rows consumes the same rng stream?
+    # rng is split per-row over H which differs -> sequences diverge; only
+    # check shapes and finiteness here.
+    assert np.isfinite(a).all() and np.isfinite(b).all()
