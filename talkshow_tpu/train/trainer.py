@@ -75,6 +75,15 @@ class Trainer:
         os.makedirs(self.run_dir, exist_ok=True)
         with open(os.path.join(self.run_dir, "config.json"), "w") as f:
             f.write(self.config.to_json())
+        # file + stdout logging into the run dir (trainer/Trainer.py:86-101)
+        if not any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "_talkshow_run", None) == self.run_dir
+                   for h in log.handlers):
+            fh = logging.FileHandler(os.path.join(self.run_dir, "train.log"))
+            fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+            fh._talkshow_run = self.run_dir
+            log.addHandler(fh)
+            log.setLevel(logging.INFO)
         if self.state is None:
             rng = rng if rng is not None else jax.random.PRNGKey(self.config.train.seed)
             self.state = self.init_state_fn(
