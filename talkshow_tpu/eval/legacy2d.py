@@ -48,3 +48,24 @@ def mode_transition_ratio(kps: np.ndarray, threshold: float | None = None) -> fl
     modes = vel > thr
     transitions = np.sum(modes[1:] != modes[:-1])
     return float(transitions) / max(len(modes) - 1, 1)
+
+
+def select_quality_samples(kps: np.ndarray, window: int = 60,
+                           vel_lo: float = 20.0, vel_hi: float = 80.0,
+                           stride: int = 30) -> list[tuple[int, int]]:
+    """Extract 'quality' sample windows (get_quality_samples.py semantics):
+    windows whose mean keypoint velocity falls between the lo/hi
+    percentiles of the clip — i.e. neither frozen nor erratic.
+
+    kps: (T, K, D). Returns [(start, end)] window indices."""
+    vel = np.linalg.norm(np.diff(kps, axis=0), axis=-1).mean(-1)  # (T-1,)
+    out = []
+    if len(vel) < window:
+        return out
+    means = np.asarray([vel[s:s + window].mean()
+                        for s in range(0, len(vel) - window + 1, stride)])
+    lo, hi = np.percentile(means, vel_lo), np.percentile(means, vel_hi)
+    for i, s in enumerate(range(0, len(vel) - window + 1, stride)):
+        if lo <= means[i] <= hi:
+            out.append((s, s + window))
+    return out

@@ -99,6 +99,15 @@ class Trainer:
         return self
 
     def _put_batch(self, batch: dict) -> dict:
+        if self.config.data.pose.normalization:
+            if not hasattr(self, "_norm_stats"):
+                from talkshow_tpu.data.dataset import compute_norm_stats
+                self._norm_stats = compute_norm_stats(self.dataset)
+                np.save(os.path.join(self.run_dir, "norm_stats.npy"),
+                        np.stack(self._norm_stats))
+            from talkshow_tpu.data.dataset import normalize_poses
+            batch = dict(batch)
+            batch["poses"] = normalize_poses(batch["poses"], self._norm_stats)
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         from talkshow_tpu.parallel import mesh as pmesh

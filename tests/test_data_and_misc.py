@@ -124,3 +124,36 @@ def test_legacy2d_metrics(rng):
     assert len(pv) > 0 and np.all(np.isfinite(pv))
     r = legacy2d.mode_transition_ratio(kps)
     assert 0.0 <= r <= 1.0
+
+
+def test_select_quality_samples(rng):
+    kps = rng.standard_normal((300, 25, 2)).astype(np.float32).cumsum(0) * 0.01
+    wins = legacy2d.select_quality_samples(kps, window=60, stride=30)
+    assert all(e - s == 60 for s, e in wins)
+    assert len(wins) >= 1
+
+
+def test_trainer_normalization(tmp_path):
+    import jax
+    from talkshow_tpu.config import body_vq_config
+    from talkshow_tpu.data.dataset import synthetic_dataset
+    from talkshow_tpu.models.vqvae import VQVAE
+    from talkshow_tpu.train import steps as tsteps
+    from talkshow_tpu.train.trainer import Trainer
+
+    cfg = body_vq_config()
+    cfg.data.pose.normalization = True
+    cfg.train.batch_size = 4
+    cfg.train.epochs = 1
+    cfg.log.save_every = 10
+    cfg.data.pose.generate_length = 16
+    ds = synthetic_dataset(num_clips=2, frames=60)
+    ds.generate_length = 16
+    vq_b, vq_h = VQVAE(in_dim=39, num_hiddens=64), VQVAE(in_dim=90, num_hiddens=64)
+    init_state, step = tsteps.make_body_vq_step(vq_b, vq_h)
+    tr = Trainer(cfg, ds, init_state, lambda s, b: step(s, b), needs_rng=False,
+                 run_dir=str(tmp_path / "r")).setup()
+    tr.train()
+    assert os.path.isfile(str(tmp_path / "r" / "norm_stats.npy"))
+    stats = np.load(str(tmp_path / "r" / "norm_stats.npy"))
+    assert stats.shape == (2, 165)
