@@ -248,3 +248,17 @@ class SeqDecoder1D(nn.Module):
             h = CNR1d(self.hidden, leaky=True, residual=True,
                       name=f"conv_{i}")(h, train)
         return nn.Conv(self.out_channels, (1,), name="out")(h)
+
+
+class SeqTranslatorRNN(nn.Module):
+    """GRU-based sequence translator (nets/layers.py SeqTranslatorRNN
+    family): conv front-end + unidirectional GRU + linear head."""
+    hidden: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = CNR1d(self.hidden, leaky=True, name="front")(x, train)
+        gru = nn.RNN(nn.GRUCell(features=self.hidden), name="gru")
+        h = gru(h)
+        return nn.Dense(self.out_channels, name="out")(h)

@@ -211,3 +211,17 @@ def test_seed_everything_deterministic():
     r2, k2 = U.seed_everything(42)
     assert r1.integers(100) == r2.integers(100)
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_seq_translator_rnn():
+    from talkshow_tpu.models.layers import SeqTranslatorRNN
+    m = SeqTranslatorRNN(hidden=16, out_channels=5)
+    x = jnp.zeros((2, 12, 8))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 12, 5)
+    # recurrence: output at t depends on inputs <= t only
+    x2 = x.at[0, -1].add(1.0)
+    y2 = m.apply(v, x2)
+    np.testing.assert_allclose(np.asarray(y2[0, :-2]), np.asarray(y[0, :-2]),
+                               atol=1e-6)
