@@ -13,9 +13,6 @@ lower to MXU matmuls of shape (B*T, K*C_in) x (K*C_in, C_out).
 """
 from __future__ import annotations
 
-from typing import Sequence
-
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,12 +30,6 @@ class TorchBatchNorm(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=None,
         )(x)
-
-
-def conv1d(x, features, kernel, stride=1, padding="SAME", groups=1, use_bias=True,
-           name=None):
-    return nn.Conv(features, (kernel,), strides=(stride,), padding=padding,
-                   feature_group_count=groups, use_bias=use_bias, name=name)(x)
 
 
 class ConvNormRelu(nn.Module):
