@@ -57,12 +57,24 @@ def main():
         cfg.data.data_root = args.data_root
     cfg.train.seed = args.seed
     name = cfg.model.model_name
+    batch_mode = "windows"
     run_dir = args.run_dir or os.path.join("experiments", cfg.log.name)
 
     feat = "raw" if cfg.model.encoder_choice == "faceformer" else "mfcc"
     if args.synthetic:
         ds = synthetic_dataset(num_clips=4, frames=240)
         ds.generate_length = cfg.data.pose.generate_length
+        if feat == "raw":
+            import numpy as np
+            rng0 = np.random.default_rng(0)
+            # equal-length clips -> a single jit compilation for the
+            # whole-clip face stage
+            tmin = min(c.poses.shape[0] for c in ds.clips)
+            for c in ds.clips:
+                c.poses = c.poses[:tmin]
+                c.expression = c.expression[:tmin]
+                n = tmin * 16000 // 30
+                c.aud_feat = rng0.standard_normal((n, 1)).astype(np.float32)
     else:
         cache = os.path.join(cfg.data.data_root or ".",
                              "train" + cfg.data.pklname)
@@ -118,6 +130,7 @@ def main():
             face, max_grad_norm=cfg.train.max_gradient_norm,
             window=cfg.data.pose.generate_length)
         needs_rng = True
+        batch_mode = "face_clips"  # whole clips @ batch 1 (config/face.json)
     elif name == "s2g_body_ae":
         from talkshow_tpu.models.vqvae import AE
         ae = AE(in_dim=129, num_hiddens=cfg.model.vq_num_hiddens)
@@ -137,7 +150,7 @@ def main():
         raise SystemExit(f"unknown stage {name}")
 
     trainer = Trainer(cfg, ds, init_state, step, needs_rng=needs_rng,
-                      run_dir=run_dir).setup()
+                      run_dir=run_dir, batch_mode=batch_mode).setup()
     if args.resume:
         trainer.resume(args.resume)
     trainer.train(epochs=args.epochs)

@@ -171,6 +171,29 @@ class ShowDataset:
             group = [samples[j] for j in order[i:i + batch_size]]
             yield {k: np.stack([g[k] for g in group]) for k in group[0]}
 
+    def face_batches(self, num_classes: int = 4):
+        """Whole-clip batches for face training (the reference trains the
+        face stage at batch 1 on whole clips with the raw 16 kHz waveform,
+        config/face.json whole_video=true + batch_size 1).
+
+        Requires clips loaded with feat='raw' (aud_feat (N, 1) @16 kHz).
+        Yields {'waveform' (1, N), 'id_onehot' (1, C), 'gt' (1, T, 265)}.
+        """
+        from talkshow_tpu.ops.pose import SPEAKER_ID as _SID
+        for clip in self.clips:
+            if clip.aud_feat.shape[-1] != 1:
+                raise ValueError("face_batches needs feat='raw' clips")
+            t = clip.poses.shape[0]
+            gt = np.concatenate([clip.poses, clip.expression], axis=-1)[None]
+            sid = _SID[clip.speaker] - 20
+            onehot = np.zeros((1, num_classes), np.float32)
+            onehot[0, sid] = 1.0
+            yield {
+                "waveform": clip.aud_feat.reshape(1, -1),
+                "id_onehot": onehot,
+                "gt": gt.astype(np.float32),
+            }
+
     def whole_clips(self):
         """Eval mode: full clips (mesh_dataset.py:246-248)."""
         for clip in self.clips:

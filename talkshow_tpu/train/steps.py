@@ -190,7 +190,8 @@ def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
             _face_param_labels(params),
         )
 
-    def init_state(rng, samples_per_window: int | None = None) -> FaceState:
+    def init_state(rng, samples_per_window: int | None = None,
+                   window: int = window) -> FaceState:
         n = samples_per_window or window * 16000 // 30
         v = face.init(rng, jnp.zeros((1, n)), jnp.zeros((1, face.num_classes)),
                       window)

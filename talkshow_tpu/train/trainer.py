@@ -70,6 +70,7 @@ class Trainer:
     global_step: int = 0
     history: list = field(default_factory=list)
     mesh: Any = None        # jax.sharding.Mesh for dp x tp training
+    batch_mode: str = "windows"   # "windows" | "face_clips"
 
     def setup(self, rng=None):
         os.makedirs(self.run_dir, exist_ok=True)
@@ -99,7 +100,7 @@ class Trainer:
         return self
 
     def _put_batch(self, batch: dict) -> dict:
-        if self.config.data.pose.normalization:
+        if self.config.data.pose.normalization and "poses" in batch:
             if not hasattr(self, "_norm_stats"):
                 from talkshow_tpu.data.dataset import compute_norm_stats
                 self._norm_stats = compute_norm_stats(self.dataset)
@@ -128,7 +129,13 @@ class Trainer:
             running: dict[str, float] = {}
             count = 0
             t0 = time.time()
-            for batch in self.dataset.batches(self.config.train.batch_size, np_rng):
+            if self.batch_mode == "face_clips":
+                # whole clips, batch 1 (face stage; config/face.json)
+                batch_iter = self.dataset.face_batches()
+            else:
+                batch_iter = self.dataset.batches(
+                    self.config.train.batch_size, np_rng)
+            for batch in batch_iter:
                 batch = self._put_batch(
                     {k: v for k, v in batch.items()
                      if isinstance(v, np.ndarray) or np.isscalar(v)

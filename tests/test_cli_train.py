@@ -46,3 +46,21 @@ def test_train_cli_synthetic(tmp_path, stage):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "done; checkpoints" in r.stdout
     assert os.path.isdir(str(tmp_path / "run"))
+
+
+def test_train_cli_face_synthetic(tmp_path):
+    """Face stage: whole-clip raw-waveform batches (the reference's
+    config/face.json semantics)."""
+    cfgp = _write_config(str(tmp_path / "f.json"), "s2g_face",
+                         extra_model={"encoder_choice": "faceformer",
+                                      "model_type": "face"},
+                         batch=1, gen_len=16)
+    import json as _json
+    cfg = _json.load(open(cfgp))
+    cfg["Data"]["whole_video"] = True
+    _json.dump(cfg, open(cfgp, "w"))
+    r = _run(["scripts/train.py", "--config_file", cfgp, "--synthetic",
+              "--epochs", "1", "--run_dir", str(tmp_path / "run")],
+             timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "done; checkpoints" in r.stdout
