@@ -95,3 +95,17 @@ def skip_nonfinite_updates(inner: optax.GradientTransformation
         }
 
     return optax.GradientTransformation(init, update)
+
+
+def cast_floats(tree, dtype=jnp.bfloat16, keep_norm_f32: bool = True):
+    """Cast float arrays of a params pytree to `dtype` (inference
+    quantization). Norm scales/biases stay f32 by default."""
+    def cast(path, x):
+        if not hasattr(x, "dtype") or not jnp.issubdtype(x.dtype, jnp.floating):
+            return x
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if keep_norm_f32 and any(("Norm" in k or k in ("scale", "mean", "var"))
+                                 for k in keys):
+            return x
+        return x.astype(dtype)
+    return jax.tree_util.tree_map_with_path(cast, tree)

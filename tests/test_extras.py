@@ -225,3 +225,29 @@ def test_seq_translator_rnn():
     y2 = m.apply(v, x2)
     np.testing.assert_allclose(np.asarray(y2[0, :-2]), np.asarray(y[0, :-2]),
                                atol=1e-6)
+
+
+def test_cast_floats_bf16_generation():
+    from talkshow_tpu.utils import cast_floats
+    from tests.test_pipeline_io import _tiny_pipe
+    pipe = _tiny_pipe()
+    body = pipe.body._replace(
+        prior_vars=cast_floats(pipe.body.prior_vars),
+        audio_enc_vars=cast_floats(pipe.body.audio_enc_vars))
+    import talkshow_tpu.pipeline as P
+    pipe2 = P.Pipeline(pipe.face_model, pipe.face_vars, body)
+    feat = np.zeros((16, 64), np.float32)
+    out = np.asarray(pipe2.generate_body(feat, 0))
+    assert out.shape == (1, 16, 129) and np.isfinite(out).all()
+
+
+def test_multihost_helpers_single_process():
+    from talkshow_tpu.parallel import multihost as mh
+    mh.initialize_multihost()  # no-op single process
+    mesh = mh.global_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    batch = {"x": np.ones((8, 3), np.float32)}
+    g = mh.make_global_batch(mesh, batch)
+    assert g["x"].shape == (8, 3)
+    from jax.sharding import PartitionSpec as P
+    assert g["x"].sharding.spec == P("dp", None)
