@@ -24,7 +24,7 @@ from talkshow_tpu.models.ls3dcg import LS3DCGDiscriminator, LS3DCGGenerator
 from talkshow_tpu.models.pixelcnn import GatedPixelCNN
 from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
 from talkshow_tpu.ops import vq as vq_ops
-from talkshow_tpu.ops.pose import BODY_DIM, C_INDEX_3D, HAND_DIM
+from talkshow_tpu.ops.pose import BODY_DIM, C_INDEX_3D, C_INDEX_6D, HAND_DIM
 
 
 # ---------------------------------------------------------------------------
@@ -39,15 +39,22 @@ class BodyVQState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_body_vq_step(vq_body: VQVAE, vq_hand: VQVAE, learning_rate: float = 1e-4):
+def make_body_vq_step(vq_body: VQVAE, vq_hand: VQVAE, learning_rate: float = 1e-4,
+                      rep6d: bool = False):
+    """rep6d: the convert_to_6d variant (poses (T, 330), conv channels 258,
+    body 78 / hand 180 — smplx_body_vq.py:50-53 with c_index_6d)."""
     tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
+    body_dim = BODY_DIM * (2 if rep6d else 1)
+    hand_dim = HAND_DIM * (2 if rep6d else 1)
+    c_index = C_INDEX_6D if rep6d else C_INDEX_3D
+    full_dim = 330 if rep6d else 165
 
     def init_state(rng, window: int = 88) -> BodyVQState:
         r = jax.random.split(rng, 4)
         st_b = vq_ops.init_vq_state(r[0], 2048, vq_body.embedding_dim)
         st_h = vq_ops.init_vq_state(r[1], 2048, vq_hand.embedding_dim)
-        vb = vq_body.init(r[2], jnp.zeros((1, window, BODY_DIM)), st_b)
-        vh = vq_hand.init(r[3], jnp.zeros((1, window, HAND_DIM)), st_h)
+        vb = vq_body.init(r[2], jnp.zeros((1, window, body_dim)), st_b)
+        vh = vq_hand.init(r[3], jnp.zeros((1, window, hand_dim)), st_h)
         params = {"body": vb["params"], "hand": vh["params"]}
         stats = {"body": vb["batch_stats"], "hand": vh["batch_stats"]}
         return BodyVQState(params, stats, {"body": st_b, "hand": st_h},
@@ -64,8 +71,8 @@ def make_body_vq_step(vq_body: VQVAE, vq_hand: VQVAE, learning_rate: float = 1e-
         new_stats, new_vq = {}, {}
         total = 0.0
         for name, model, sl in (
-            ("body", vq_body, slice(0, BODY_DIM)),
-            ("hand", vq_hand, slice(BODY_DIM, BODY_DIM + HAND_DIM)),
+            ("body", vq_body, slice(0, body_dim)),
+            ("hand", vq_hand, slice(body_dim, body_dim + hand_dim)),
         ):
             gt = conv_poses[..., sl]
             (recon, commit, nvq, _), updates = model.apply(
@@ -82,9 +89,9 @@ def make_body_vq_step(vq_body: VQVAE, vq_hand: VQVAE, learning_rate: float = 1e-
         return total, (out, new_stats, new_vq)
 
     def step(state: BodyVQState, batch) -> tuple[BodyVQState, dict]:
-        """batch: {'poses': (B, T, 165)} (or already-sliced conv channels)."""
+        """batch: {'poses': (B, T, full_dim)} (or pre-sliced conv channels)."""
         poses = batch["poses"]
-        conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
+        conv = poses[..., c_index] if poses.shape[-1] == full_dim else poses
         grads, (metrics, new_stats, new_vq) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.vq, conv)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -110,12 +117,18 @@ def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
                          vq_body: VQVAE, vq_hand: VQVAE,
                          frozen_vq_vars: dict, frozen_vq_states: dict,
                          learning_rate: float = 1e-4,
-                         max_grad_norm: float = 5.0):
-    """frozen_vq_vars: {'body': vars, 'hand': vars} of the stage-1 VQs."""
+                         max_grad_norm: float = 5.0,
+                         rep6d: bool = False):
+    """frozen_vq_vars: {'body': vars, 'hand': vars} of the stage-1 VQs.
+    rep6d: the 6d variant (the reference then uses pixelcnn dim 512 /
+    10 layers — smplx_body_pixel.py:49-53; pass such a `prior`)."""
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adam(learning_rate, b1=0.9, b2=0.999),
     )
+    body_dim = BODY_DIM * (2 if rep6d else 1)
+    c_index = C_INDEX_6D if rep6d else C_INDEX_3D
+    full_dim = 330 if rep6d else 165
 
     def init_state(rng, window: int = 88) -> PixelState:
         r = jax.random.split(rng, 2)
@@ -128,9 +141,9 @@ def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
         return PixelState(params, stats, tx.init(params), jnp.zeros((), jnp.int32))
 
     def encode_tokens(conv_poses):
-        _, tb = vq_body.apply(frozen_vq_vars["body"], conv_poses[..., :BODY_DIM],
+        _, tb = vq_body.apply(frozen_vq_vars["body"], conv_poses[..., :body_dim],
                               frozen_vq_states["body"], method=VQVAE.encode)
-        _, th = vq_hand.apply(frozen_vq_vars["hand"], conv_poses[..., BODY_DIM:],
+        _, th = vq_hand.apply(frozen_vq_vars["hand"], conv_poses[..., body_dim:],
                               frozen_vq_states["hand"], method=VQVAE.encode)
         return jnp.stack([tb, th], axis=-1)        # (B, T/4, 2)
 
@@ -145,9 +158,9 @@ def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
         return ce, updates["batch_stats"]
 
     def step(state: PixelState, batch, rng):
-        """batch: poses (B, T, 165|129), aud_feat (B, T, 64), speaker (B,)."""
+        """batch: poses (B, T, full|conv), aud_feat (B, T, 64), speaker (B,)."""
         poses = batch["poses"]
-        conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
+        conv = poses[..., c_index] if poses.shape[-1] == full_dim else poses
         tokens = jax.lax.stop_gradient(encode_tokens(conv))
         (ce, new_audio_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, tokens, batch["aud_feat"],

@@ -98,3 +98,20 @@ def test_face_step_runs_and_freezes_cnn():
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_body_vq_step_6d_variant():
+    """convert_to_6d training: poses (B, T, 330) -> conv 258 = 78 + 180."""
+    vq_body = VQVAE(in_dim=78, num_hiddens=64)
+    vq_hand = VQVAE(in_dim=180, num_hiddens=64)
+    init_state, step = tsteps.make_body_vq_step(vq_body, vq_hand,
+                                                learning_rate=1e-3, rep6d=True)
+    state = init_state(jax.random.PRNGKey(0), window=W)
+    rng = np.random.default_rng(5)
+    batch = {"poses": jnp.asarray(rng.standard_normal((2, W, 330)) * 0.1,
+                                  jnp.float32)}
+    state, m0 = step(state, batch)
+    for _ in range(4):
+        state, m = step(state, batch)
+    assert float(m["body_rec"]) < float(m0["body_rec"])
+    assert np.isfinite(float(m["hand_rec"]))
