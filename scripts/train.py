@@ -80,27 +80,30 @@ def main():
                              "train" + cfg.data.pklname)
         ds = ShowDataset.from_root(cfg.data.data_root, args.speakers, "train",
                                    feat=feat, cache_pkl=cache,
-                                   generate_length=cfg.data.pose.generate_length)
+                                   generate_length=cfg.data.pose.generate_length,
+                                   convert_to_6d=cfg.data.pose.convert_to_6d)
     print(f"dataset: {len(ds.clips)} clips")
 
+    rep6d = cfg.data.pose.convert_to_6d
+    scale = 2 if rep6d else 1
     if name == "s2g_body_vq":
         from talkshow_tpu.models.vqvae import VQVAE
-        vq_body = VQVAE(in_dim=39, num_hiddens=cfg.model.vq_num_hiddens,
+        vq_body = VQVAE(in_dim=39 * scale, num_hiddens=cfg.model.vq_num_hiddens,
                         embedding_dim=cfg.model.vq_embedding_dim)
-        vq_hand = VQVAE(in_dim=90, num_hiddens=cfg.model.vq_num_hiddens,
+        vq_hand = VQVAE(in_dim=90 * scale, num_hiddens=cfg.model.vq_num_hiddens,
                         embedding_dim=cfg.model.vq_embedding_dim)
         init_state, step = tsteps.make_body_vq_step(
-            vq_body, vq_hand, cfg.train.generator_learning_rate)
+            vq_body, vq_hand, cfg.train.generator_learning_rate, rep6d=rep6d)
         needs_rng = False
     elif name == "s2g_body_pixel":
         from talkshow_tpu.models.pixelcnn import GatedPixelCNN
         from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
-        vq_body = VQVAE(in_dim=39, num_hiddens=cfg.model.vq_num_hiddens)
-        vq_hand = VQVAE(in_dim=90, num_hiddens=cfg.model.vq_num_hiddens)
+        vq_body = VQVAE(in_dim=39 * scale, num_hiddens=cfg.model.vq_num_hiddens)
+        vq_hand = VQVAE(in_dim=90 * scale, num_hiddens=cfg.model.vq_num_hiddens)
         vq_ckpt_path = args.vq_ckpt or cfg.model.vq_path
         if not vq_ckpt_path:
             raise SystemExit("s2g_body_pixel requires --vq_ckpt")
-        init_vq, _ = tsteps.make_body_vq_step(vq_body, vq_hand)
+        init_vq, _ = tsteps.make_body_vq_step(vq_body, vq_hand, rep6d=rep6d)
         like = init_vq(jax.random.PRNGKey(0),
                        window=cfg.data.pose.generate_length)
         restored = load_checkpoint(vq_ckpt_path, {"state": like, "epoch": 0,
@@ -112,15 +115,18 @@ def main():
                      "batch_stats": restored.batch_stats["hand"]},
         }
         frozen_states = restored.vq
+        # 6d variant uses dim 512 / 10 layers (smplx_body_pixel.py:49-53)
+        pix_dim = 512 if rep6d else cfg.model.pixelcnn_dim
+        pix_layers = 10 if rep6d else cfg.model.pixelcnn_layers
         prior = GatedPixelCNN(input_dim=cfg.model.code_num,
-                              dim=cfg.model.pixelcnn_dim,
-                              n_layers=cfg.model.pixelcnn_layers,
+                              dim=pix_dim, n_layers=pix_layers,
                               n_classes=cfg.model.num_speakers,
                               bh_model=cfg.model.bh_model)
         audio_enc = AudioEncoder(num_hiddens=256)
         init_state, step = tsteps.make_body_pixel_step(
             prior, audio_enc, vq_body, vq_hand, frozen_vars, frozen_states,
-            cfg.train.generator_learning_rate, cfg.train.max_gradient_norm)
+            cfg.train.generator_learning_rate, cfg.train.max_gradient_norm,
+            rep6d=rep6d)
         needs_rng = True
     elif name == "s2g_face":
         from talkshow_tpu.models.face import FaceGenerator
