@@ -96,10 +96,7 @@ CHANGE_ANGLE = np.array([6.0181e-05, 5.1597e-05, 2.1344e-04, 2.1899e-04], dtype=
 def _default_asset_dirs():
     env = os.environ.get("TALKSHOW_ASSETS")
     dirs = [env] if env else []
-    dirs += [
-        os.path.join(os.path.dirname(__file__), "..", "assets"),
-        "/root/reference/data_utils",
-    ]
+    dirs += [os.path.join(os.path.dirname(__file__), "..", "assets")]
     return [d for d in dirs if d and os.path.isdir(d)]
 
 

@@ -59,9 +59,6 @@ def _write_clip(root, speaker, vid, split, name, frames=100, bad=False):
     return d
 
 
-@pytest.mark.skipif(
-    not os.path.isfile("/root/reference/data_utils/hand_component.json"),
-    reason="hand PCA asset not present")
 def test_show_dataset_from_root(tmp_path):
     root = str(tmp_path)
     _write_clip(root, "oliver", "vid1", "train", "clip1")

@@ -71,10 +71,6 @@ def test_full_to_conv_inverse_of_part2full_on_kept_channels():
     np.testing.assert_allclose(conv[:, 15:], pred[:, 18:132], atol=1e-6)
 
 
-@pytest.mark.skipif(
-    not __import__("os").path.isfile("/root/reference/data_utils/hand_component.json"),
-    reason="hand PCA asset not present",
-)
 def test_hand_pca_expansion():
     rng = np.random.default_rng(2)
     packed = rng.standard_normal((4, 99))

@@ -36,10 +36,6 @@ def test_5d_to_axis_angle(rng):
 
 
 def test_dataset_convert_to_6d(tmp_path):
-    import os
-    if not __import__("os").path.isfile(
-            "/root/reference/data_utils/hand_component.json"):
-        pytest.skip("hand PCA asset not present")
     from tests.test_data_and_misc import _write_clip
     from talkshow_tpu.data.dataset import ShowDataset
     _write_clip(str(tmp_path), "oliver", "v", "train", "c1")
