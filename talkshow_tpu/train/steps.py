@@ -25,6 +25,7 @@ from talkshow_tpu.models.pixelcnn import GatedPixelCNN
 from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
 from talkshow_tpu.ops import vq as vq_ops
 from talkshow_tpu.ops.pose import BODY_DIM, C_INDEX_3D, C_INDEX_6D, HAND_DIM
+from talkshow_tpu.utils import all_finite, skip_nonfinite_updates, tree_select
 
 
 # ---------------------------------------------------------------------------
@@ -43,7 +44,7 @@ def make_body_vq_step(vq_body: VQVAE, vq_hand: VQVAE, learning_rate: float = 1e-
                       rep6d: bool = False):
     """rep6d: the convert_to_6d variant (poses (T, 330), conv channels 258,
     body 78 / hand 180 — smplx_body_vq.py:50-53 with c_index_6d)."""
-    tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
+    tx = skip_nonfinite_updates(optax.adam(learning_rate, b1=0.9, b2=0.999))
     body_dim = BODY_DIM * (2 if rep6d else 1)
     hand_dim = HAND_DIM * (2 if rep6d else 1)
     c_index = C_INDEX_6D if rep6d else C_INDEX_3D
@@ -94,8 +95,12 @@ def make_body_vq_step(vq_body: VQVAE, vq_hand: VQVAE, learning_rate: float = 1e-
         conv = poses[..., c_index] if poses.shape[-1] == full_dim else poses
         grads, (metrics, new_stats, new_vq) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, state.vq, conv)
+        finite = all_finite(grads)
+        new_stats = tree_select(finite, new_stats, state.batch_stats)
+        new_vq = tree_select(finite, new_vq, state.vq)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, nonfinite_skips=opt_state["nonfinite_count"])
         return BodyVQState(params, new_stats, new_vq, opt_state,
                            state.step + 1), metrics
 
@@ -122,10 +127,10 @@ def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
     """frozen_vq_vars: {'body': vars, 'hand': vars} of the stage-1 VQs.
     rep6d: the 6d variant (the reference then uses pixelcnn dim 512 /
     10 layers — smplx_body_pixel.py:49-53; pass such a `prior`)."""
-    tx = optax.chain(
+    tx = skip_nonfinite_updates(optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adam(learning_rate, b1=0.9, b2=0.999),
-    )
+    ))
     body_dim = BODY_DIM * (2 if rep6d else 1)
     c_index = C_INDEX_6D if rep6d else C_INDEX_3D
     full_dim = 330 if rep6d else 165
@@ -166,11 +171,14 @@ def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
             state.params, state.batch_stats, tokens, batch["aud_feat"],
             batch["speaker"], rng)
         gnorm = optax.global_norm(grads)
+        new_audio_stats = tree_select(all_finite(grads), new_audio_stats,
+                                      state.batch_stats["audio"])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = PixelState(params, {"audio": new_audio_stats}, opt_state,
                                state.step + 1)
-        return new_state, {"ce_loss": ce, "grad": gnorm}
+        return new_state, {"ce_loss": ce, "grad": gnorm,
+                           "nonfinite_skips": opt_state["nonfinite_count"]}
 
     return init_state, jax.jit(step)
 
@@ -196,12 +204,12 @@ def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
                    momentum: float = 0.9, max_grad_norm: float = 5.0,
                    window: int = 88):
     def make_tx(params):
-        return optax.multi_transform(
+        return skip_nonfinite_updates(optax.multi_transform(
             {"train": optax.chain(optax.clip_by_global_norm(max_grad_norm),
                                   optax.sgd(learning_rate, momentum=momentum)),
              "frozen": optax.set_to_zero()},
             _face_param_labels(params),
-        )
+        ))
 
     def init_state(rng, samples_per_window: int | None = None,
                    window: int = window) -> FaceState:
@@ -227,7 +235,8 @@ def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
             state.params, batch["waveform"], batch["id_onehot"], batch["gt"], rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics, loss=loss, grad=optax.global_norm(grads))
+        metrics = dict(metrics, loss=loss, grad=optax.global_norm(grads),
+                       nonfinite_skips=opt_state["nonfinite_count"])
         return FaceState(params, opt_state, state.step + 1), metrics
 
     return init_state, jax.jit(step)
@@ -253,8 +262,8 @@ def make_ls3dcg_step(gen: LS3DCGGenerator, disc: LS3DCGDiscriminator,
                      window: int = 88):
     """LSGAN train step (nets/LS3DCG.py:280-363): D sees [poses|aud]; G loss
     = L1(jaw)+MSE(exp)+L1(body)+L1(hand) + LSGAN generator term."""
-    g_tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
-    d_tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
+    g_tx = skip_nonfinite_updates(optax.adam(learning_rate, b1=0.9, b2=0.999))
+    d_tx = skip_nonfinite_updates(optax.adam(learning_rate, b1=0.9, b2=0.999))
 
     def init_state(rng, window: int = window) -> LS3DCGState:
         r1, r2 = jax.random.split(rng)
@@ -307,15 +316,21 @@ def make_ls3dcg_step(gen: LS3DCGGenerator, disc: LS3DCGDiscriminator,
             d_loss_fn, has_aux=True)(state.d_params, state.d_stats,
                                      jax.lax.stop_gradient(pred), conv,
                                      batch["aud_feat"])
+        new_d_stats = tree_select(all_finite(d_grads), new_d_stats,
+                                  state.d_stats)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
         # --- G update against the refreshed D ---
         (g_loss, (metrics, new_g_stats, _)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params, state.g_stats,
                                      d_params, new_d_stats, batch)
+        new_g_stats = tree_select(all_finite(g_grads), new_g_stats,
+                                  state.g_stats)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
-        metrics = dict(metrics, dis=d_loss)
+        metrics = dict(metrics, dis=d_loss,
+                       nonfinite_skips=(g_opt["nonfinite_count"]
+                                        + d_opt["nonfinite_count"]))
         return LS3DCGState(g_params, new_g_stats, d_params, new_d_stats,
                            g_opt, d_opt, state.step + 1), metrics
 
@@ -336,7 +351,7 @@ class BodyAEState(NamedTuple):
 def make_body_ae_step(ae, learning_rate: float = 1e-4):
     """Plain autoencoder over the 129 conv channels; loss = L1 rec +
     L1 velocity (body_ae.py:112-140)."""
-    tx = optax.adam(learning_rate, b1=0.9, b2=0.999)
+    tx = skip_nonfinite_updates(optax.adam(learning_rate, b1=0.9, b2=0.999))
 
     def init_state(rng, window: int = 88) -> BodyAEState:
         v = ae.init(rng, jnp.zeros((1, window, ae.in_dim)))
@@ -357,8 +372,10 @@ def make_body_ae_step(ae, learning_rate: float = 1e-4):
         conv = poses[..., C_INDEX_3D] if poses.shape[-1] == 165 else poses
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, conv)
+        new_stats = tree_select(all_finite(grads), new_stats, state.batch_stats)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, nonfinite_skips=opt_state["nonfinite_count"])
         return BodyAEState(params, new_stats, opt_state, state.step + 1), metrics
 
     return init_state, jax.jit(step)

@@ -89,12 +89,32 @@ def skip_nonfinite_updates(inner: optax.GradientTransformation
         updates, inner_state = inner.update(safe_grads, state["inner"], params)
         updates = jax.tree_util.tree_map(
             lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        # true skip: on a non-finite step the inner state (moments, counts)
+        # stays exactly as it was, so the poisoned step leaves no trace
+        inner_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "shape") else new,
+            inner_state, state["inner"])
         return updates, {
             "inner": inner_state,
             "nonfinite_count": state["nonfinite_count"] + (1 - finite.astype(jnp.int32)),
         }
 
     return optax.GradientTransformation(init, update)
+
+
+def all_finite(tree) -> jnp.ndarray:
+    """Scalar bool: every array leaf of `tree` is finite."""
+    leaves = [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(tree)]
+    return jnp.all(jnp.asarray(leaves))
+
+
+def tree_select(pred, new_tree, old_tree):
+    """Elementwise `new if pred else old` over matching pytrees (used to
+    guard BatchNorm stats / VQ EMA state on non-finite train steps)."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(pred, n, o) if hasattr(n, "shape") else n,
+        new_tree, old_tree)
 
 
 def cast_floats(tree, dtype=jnp.bfloat16, keep_norm_f32: bool = True):

@@ -115,3 +115,81 @@ def test_body_vq_step_6d_variant():
         state, m = step(state, batch)
     assert float(m["body_rec"]) < float(m0["body_rec"])
     assert np.isfinite(float(m["hand_rec"]))
+
+
+def test_nan_batch_skips_update_and_counts(tiny_vq):
+    """A NaN batch must leave params AND inner optimizer state untouched,
+    and bump the nonfinite counter (VERDICT r1 weak #3)."""
+    vq_body, vq_hand = tiny_vq
+    init_state, step = tsteps.make_body_vq_step(vq_body, vq_hand,
+                                                learning_rate=1e-3)
+    state = init_state(jax.random.PRNGKey(0), window=W)
+    rng = np.random.default_rng(1)
+    good = {"poses": jnp.asarray(rng.standard_normal((2, W, 129)) * 0.1,
+                                 jnp.float32)}
+    state, m = step(state, good)          # one clean step to warm moments
+    assert int(m["nonfinite_skips"]) == 0
+
+    bad = {"poses": good["poses"].at[0, 0, 0].set(jnp.nan)}
+    before_params = jax.tree_util.tree_map(np.asarray, state.params)
+    before_inner = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+        state.opt_state["inner"])
+    state, m = step(state, bad)
+    assert int(m["nonfinite_skips"]) == 1
+    after_params = jax.tree_util.tree_map(np.asarray, state.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           before_params, after_params)
+    after_inner = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+        state.opt_state["inner"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b)
+        if hasattr(a, "shape") else None, before_inner, after_inner)
+
+    # recovery: the next clean step trains normally
+    state, m = step(state, good)
+    assert int(m["nonfinite_skips"]) == 1
+    assert np.isfinite(float(m["body_rec"]))
+
+
+def test_nan_batch_skips_pixel_and_face_stages(tiny_vq):
+    from talkshow_tpu.models.face import FaceGenerator
+
+    vq_body, vq_hand = tiny_vq
+    r = jax.random.split(jax.random.PRNGKey(0), 4)
+    st_b = vq_ops.init_vq_state(r[0], 64, vq_body.embedding_dim)
+    st_h = vq_ops.init_vq_state(r[1], 64, vq_hand.embedding_dim)
+    vb = vq_body.init(r[2], jnp.zeros((1, W, 39)), st_b)
+    vh = vq_hand.init(r[3], jnp.zeros((1, W, 90)), st_h)
+    prior = GatedPixelCNN(input_dim=64, dim=16, n_layers=2, audio=True,
+                          audio_channels=32)
+    audio_enc = AudioEncoder(num_hiddens=32)
+    init_state, step = tsteps.make_body_pixel_step(
+        prior, audio_enc, vq_body, vq_hand,
+        frozen_vq_vars={"body": vb, "hand": vh},
+        frozen_vq_states={"body": st_b, "hand": st_h})
+    state = init_state(jax.random.PRNGKey(1), window=W)
+    # NaN poses would be laundered into valid int tokens by the VQ argmin,
+    # so inject into the audio features (which reach the grads directly)
+    batch = {"poses": jnp.zeros((2, W, 129), jnp.float32),
+             "aud_feat": jnp.full((2, W, 64), jnp.nan, jnp.float32),
+             "speaker": jnp.zeros((2,), jnp.int32)}
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    assert int(m["nonfinite_skips"]) == 1
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, before,
+        jax.tree_util.tree_map(np.asarray, state.params))
+
+    face = FaceGenerator(num_classes=4)
+    finit, fstep = tsteps.make_face_step(face, window=8)
+    fstate = finit(jax.random.PRNGKey(3), window=8)
+    fbatch = {"waveform": jnp.full((1, 8 * 16000 // 30), jnp.nan),
+              "id_onehot": jnp.eye(4)[:1], "gt": jnp.zeros((1, 8, 106))}
+    before = jax.tree_util.tree_map(np.asarray, fstate.params)
+    fstate, fm = fstep(fstate, fbatch, jax.random.PRNGKey(4))
+    assert int(fm["nonfinite_skips"]) == 1
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, before,
+        jax.tree_util.tree_map(np.asarray, fstate.params))
