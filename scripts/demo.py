@@ -36,6 +36,9 @@ def parse_args():
     p.add_argument("--render", action="store_true",
                    help="render a video if an SMPL-X npz + renderer deps exist")
     p.add_argument("--smplx_npz", default=None)
+    p.add_argument("--norm_stats", default=None,
+                   help="norm_stats.npy for models trained with "
+                        "Data.pose.normalization (demo.py:107-111)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -52,6 +55,8 @@ def main():
     else:
         print("NOTE: no checkpoints given; using random weights")
         pipe = Pipeline.create(args.seed)
+    if args.norm_stats:
+        pipe = pipe.with_norm_stats(args.norm_stats)
 
     motion = pipe.generate(args.audio_file, speaker=args.id,
                            num_samples=args.num_sample,

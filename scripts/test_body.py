@@ -42,8 +42,28 @@ def main():
         pipe = Pipeline.create(0)
 
     ae = AE(in_dim=129)
-    ae_vars = ae.init(jax.random.PRNGKey(1), jnp.zeros((1, 88, 129)))
-    # TODO: load ae_ckpt when a trained FGD feature extractor is available
+    if args.ae_ckpt:
+        if args.ae_ckpt.endswith((".pth", ".pt")):
+            import torch
+            from talkshow_tpu.convert.talkshow import convert_body_ae_checkpoint
+            ckpt = torch.load(args.ae_ckpt, map_location="cpu",
+                              weights_only=False)
+            ae_vars = convert_body_ae_checkpoint(ckpt)
+        else:  # orbax run dir from `train.py --model s2g_body_ae`
+            from talkshow_tpu.train import steps as tsteps
+            from talkshow_tpu.train.trainer import load_checkpoint
+            init_state, _ = tsteps.make_body_ae_step(ae)
+            like = init_state(jax.random.PRNGKey(1))
+            restored = load_checkpoint(
+                args.ae_ckpt,
+                {"state": like, "epoch": 0, "global_step": 0})["state"]
+            ae_vars = {"params": restored.params,
+                       "batch_stats": restored.batch_stats}
+    else:
+        print("WARNING: --ae_ckpt not given; FGD uses a RANDOM-INIT "
+              "feature extractor and is NOT comparable to the reference",
+              file=sys.stderr)
+        ae_vars = ae.init(jax.random.PRNGKey(1), jnp.zeros((1, 88, 129)))
 
     if args.synthetic or not args.data_root:
         ds = synthetic_dataset(num_clips=4, frames=240)

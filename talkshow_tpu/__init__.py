@@ -28,6 +28,20 @@ Subpackages:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some TPU plugins (e.g. the remote 'axon' backend) register themselves
+    # in a way that overrides the documented JAX_PLATFORMS env var.  Honor
+    # the user's explicit choice by re-asserting it through jax.config —
+    # a no-op unless the backend is already initialized differently.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backend already initialized; leave it alone
+        pass
+
 from talkshow_tpu.config import (  # noqa: F401
     Config,
     body_pixel_config,

@@ -271,6 +271,21 @@ def convert_body_pixel_checkpoint(ckpt: dict, n_layers: int = 15):
     }
 
 
+def convert_body_ae_checkpoint(ckpt: dict):
+    """Reference FGD feature extractor (experiments/feature_extractor.pth;
+    nets/body_ae.py TrainWrapper.state_dict = {'g': AE sd, ...}) -> flax AE
+    variables.  The reference AE decoder carries dead frame_enc/gru params
+    (vqvae_1d.py:135-139, never used in forward) which are skipped."""
+    sd = ckpt.get("generator", ckpt)
+    if isinstance(sd, dict) and "g" in sd:
+        sd = sd["g"]
+    sd = strip_module_prefix(sd)
+    enc_p, enc_s = _vq_encoder(sd, "encoder")
+    dec_p, dec_s = _vq_decoder(sd, "decoder")
+    return {"params": {"encoder": enc_p, "decoder": dec_p},
+            "batch_stats": {"encoder": enc_s, "decoder": dec_s}}
+
+
 def convert_face_checkpoint(ckpt: dict, wav2vec_cfg=None):
     """Reference face ckpt: trainer saves {'generator': TrainWrapper.state_dict()}
     = {'generator': {'generator': <flat Generator sd>, 'generator_optim': ...}}

@@ -134,6 +134,10 @@ def eval_face(face_model, face_vars, dataset,
                 smplx_model, betas, jnp.asarray(pr_full))
             lvd_vals.append(float(lvd(gt_v, pr_v)))
 
+    if not jaw_l1:
+        raise ValueError(
+            "eval_face saw no raw-waveform clips — load the dataset with "
+            "feat='raw' (every clip's aud_feat was mfcc-like)")
     out = {"jaw_l1": float(np.mean(jaw_l1)), "exp_mse": float(np.mean(exp_mse)),
            "num_clips": len(jaw_l1)}
     if lvd_vals:

@@ -38,6 +38,11 @@ class Pipeline:
     face_vars: Any
     body: BodyModels
     num_classes: int = 4
+    #: optional (mean, std) over the full pose channels (norm_stats.npy);
+    #: body outputs are denormalized with the conv-channel slice, mirroring
+    #: the reference inference hook (scripts/demo.py:107-111,
+    #: nets/utils.py:11-25, smplx_body_vq.py:281-282).
+    norm_stats: Any = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -93,6 +98,28 @@ class Pipeline:
             body = body._replace(prior_vars=conv["prior"],
                                  audio_enc_vars=conv["audio"])
         return cls(pipe.face_model, pipe.face_vars, body)
+
+    def with_norm_stats(self, stats) -> "Pipeline":
+        """Attach normalization stats: a (mean, std) tuple over the full
+        pose channels or a path to a norm_stats.npy (saved by the Trainer
+        when Data.pose.normalization is on)."""
+        if isinstance(stats, str):
+            arr = np.load(stats, allow_pickle=True)
+            stats = (np.asarray(arr[0], np.float32),
+                     np.asarray(arr[1], np.float32))
+        return Pipeline(self.face_model, self.face_vars, self.body,
+                        self.num_classes, stats)
+
+    def _denorm_conv(self, conv):
+        """Denormalize generated conv-channel poses when stats are set."""
+        if self.norm_stats is None:
+            return conv
+        mean, std = (np.asarray(a, np.float32) for a in self.norm_stats)
+        if mean.shape[-1] != conv.shape[-1]:
+            from talkshow_tpu.ops.pose import C_INDEX_3D, C_INDEX_6D
+            idx = C_INDEX_6D if mean.shape[-1] == 330 else C_INDEX_3D
+            mean, std = mean[idx], std[idx]
+        return conv * std + mean
 
     # ------------------------------------------------------------------
     # jitted stage functions, cached per shape bucket
@@ -150,7 +177,7 @@ class Pipeline:
         prefix = jnp.zeros((S, H, 2), jnp.int32)
         prefix = prefix.at[:, :h0].set(tokens0)
         conv_all, _ = self._body_prefix_fn(feat_all, ids, r1, prefix, h0)
-        return np.asarray(conv_all)
+        return self._denorm_conv(np.asarray(conv_all))
 
     # ------------------------------------------------------------------
     def generate_face(self, wav16k: np.ndarray, frame: int | None = None):
@@ -185,7 +212,7 @@ class Pipeline:
         conv, _ = self._body_fn(feat, ids, rng)
         if pad_to_bucket:
             conv = conv[:, : (T // 4) * 4]
-        return conv
+        return self._denorm_conv(np.asarray(conv))
 
     def generate(self, wav_file: str, speaker: int | str = 0,
                  num_samples: int = 1, only_face: bool = False,

@@ -268,3 +268,45 @@ def test_pixelcnn_conversion_parity():
     ours = model.apply(variables, jnp.asarray(tokens, jnp.int32),
                        jnp.asarray(label, jnp.int32), jnp.asarray(aud))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4)
+
+
+# --------------------------- body-AE (FGD extractor) -------------------------
+
+class TBodyAE(tnn.Module):
+    """Replica of vqvae_1d.AE(:211-235): VQ encoder/decoder without the
+    quantizer, plus the decoder's DEAD frame_enc/gru params that live in the
+    released feature_extractor.pth but are never used in forward."""
+
+    def __init__(self, cin=129, embed=64, hid=128):
+        super().__init__()
+        self.encoder = TEncoder(cin, embed, hid)
+        self.decoder = TDecoder(cin, embed, hid)
+        # dead weights present in the checkpoint (vqvae_1d.py:135-139)
+        self.decoder.frame_enc = tnn.Conv1d(cin, hid // 4, 1, 1)
+        self.decoder.gru_sl = tnn.GRU(hid // 2, hid // 2, 1, batch_first=True)
+
+    def forward(self, x):
+        return self.decoder(self.encoder(x))
+
+
+def test_body_ae_conversion_parity():
+    from talkshow_tpu.models.vqvae import AE
+
+    t = TBodyAE().eval()
+    _randomize_bn(t)
+    ckpt = {"generator": {"g": t.state_dict(), "g_optim": {},
+                          "discriminator": None}}
+    variables = conv.convert_body_ae_checkpoint(ckpt)
+    model = AE(in_dim=129, num_hiddens=128)
+
+    x_t = torch.randn(2, 129, 24)
+    with torch.no_grad():
+        ref = t(x_t).numpy()
+        feat_ref = t.encoder(x_t).numpy()
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 1))
+    out = model.apply(variables, x_j)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref,
+                               atol=2e-4)
+    feat = model.apply(variables, x_j, method=AE.encode)
+    np.testing.assert_allclose(np.asarray(feat).transpose(0, 2, 1), feat_ref,
+                               atol=2e-4)

@@ -63,3 +63,30 @@ def test_generate_demo_audio(pipe):
     # 205056 samples -> 384 frames
     assert out.shape[1] == 384
     assert np.all(np.isfinite(out))
+
+
+def test_norm_stats_denormalize_hook(pipe):
+    """normalize->train->generate->denormalize round-trip scale proof: a
+    pipeline with norm stats attached returns exactly
+    raw_output * std[c_index] + mean[c_index] (demo.py:107-111 parity)."""
+    from talkshow_tpu.ops.pose import C_INDEX_3D
+
+    rng = np.random.default_rng(5)
+    mfcc = rng.standard_normal((16, 64)).astype(np.float32)
+    raw = np.asarray(pipe.generate_body(mfcc, speaker=1, seed=3))
+
+    mean = rng.standard_normal(165).astype(np.float32)
+    std = rng.uniform(0.5, 2.0, 165).astype(np.float32)
+    pipe_n = pipe.with_norm_stats((mean, std))
+    out = np.asarray(pipe_n.generate_body(mfcc, speaker=1, seed=3))
+    np.testing.assert_allclose(out, raw * std[C_INDEX_3D] + mean[C_INDEX_3D],
+                               rtol=1e-5, atol=1e-5)
+
+    # loading from an .npy path matches the tuple form
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "norm_stats.npy")
+        np.save(path, np.stack([mean, std]))
+        out2 = np.asarray(pipe.with_norm_stats(path).generate_body(
+            mfcc, speaker=1, seed=3))
+    np.testing.assert_allclose(out2, out, atol=1e-6)
