@@ -36,6 +36,11 @@ def parse_args():
     p.add_argument("--render", action="store_true",
                    help="render a video if an SMPL-X npz + renderer deps exist")
     p.add_argument("--smplx_npz", default=None)
+    p.add_argument("--model", default="talkshow",
+                   choices=["talkshow", "ls3dcg"],
+                   help="generation model (demo.py s2g_LS3DCG branch)")
+    p.add_argument("--ls3dcg_ckpt", default=None,
+                   help="orbax run checkpoint from train.py --model s2g_LS3DCG")
     p.add_argument("--norm_stats", default=None,
                    help="norm_stats.npy for models trained with "
                         "Data.pose.normalization (demo.py:107-111)")
@@ -48,20 +53,49 @@ def main():
     import numpy as np
     from talkshow_tpu.pipeline import Pipeline
 
-    if args.face_ckpt or args.body_ckpt:
-        pipe = Pipeline.from_torch_checkpoints(
-            face_ckpt=args.face_ckpt, body_ckpt=args.body_ckpt,
-            vq_ckpt=args.vq_ckpt)
+    if args.model == "ls3dcg":
+        import jax
+        import jax.numpy as jnp
+        from talkshow_tpu.models.ls3dcg import (LS3DCGDiscriminator,
+                                                LS3DCGGenerator,
+                                                infer_on_audio)
+        gen = LS3DCGGenerator()
+        if args.ls3dcg_ckpt:
+            from talkshow_tpu.train import steps as tsteps
+            from talkshow_tpu.train.trainer import load_checkpoint
+            init_state, _ = tsteps.make_ls3dcg_step(gen, LS3DCGDiscriminator())
+            like = init_state(jax.random.PRNGKey(0))
+            st = load_checkpoint(args.ls3dcg_ckpt,
+                                 {"state": like, "epoch": 0,
+                                  "global_step": 0})["state"]
+            gen_vars = {"params": st.g_params, "batch_stats": st.g_stats}
+        else:
+            print("NOTE: no --ls3dcg_ckpt; using random weights")
+            v = gen.init(jax.random.PRNGKey(args.seed),
+                         jnp.zeros((1, 8, 64)))
+            gen_vars = {"params": v["params"], "batch_stats": v["batch_stats"]}
+        norm_stats = None
+        if args.norm_stats:
+            arr = np.load(args.norm_stats, allow_pickle=True)
+            norm_stats = (arr[0], arr[1])
+        motion = infer_on_audio(gen, gen_vars, args.audio_file,
+                                num_samples=args.num_sample,
+                                stand=args.stand, norm_stats=norm_stats)
     else:
-        print("NOTE: no checkpoints given; using random weights")
-        pipe = Pipeline.create(args.seed)
-    if args.norm_stats:
-        pipe = pipe.with_norm_stats(args.norm_stats)
+        if args.face_ckpt or args.body_ckpt:
+            pipe = Pipeline.from_torch_checkpoints(
+                face_ckpt=args.face_ckpt, body_ckpt=args.body_ckpt,
+                vq_ckpt=args.vq_ckpt)
+        else:
+            print("NOTE: no checkpoints given; using random weights")
+            pipe = Pipeline.create(args.seed)
+        if args.norm_stats:
+            pipe = pipe.with_norm_stats(args.norm_stats)
 
-    motion = pipe.generate(args.audio_file, speaker=args.id,
-                           num_samples=args.num_sample,
-                           only_face=args.only_face, stand=args.stand,
-                           continuity=args.continuity, seed=args.seed)
+        motion = pipe.generate(args.audio_file, speaker=args.id,
+                               num_samples=args.num_sample,
+                               only_face=args.only_face, stand=args.stand,
+                               continuity=args.continuity, seed=args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.audio_file))[0]
     out = os.path.join(args.out_dir, stem + ".npy")

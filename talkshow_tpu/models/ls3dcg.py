@@ -121,3 +121,50 @@ class LS3DCGDiscriminator(nn.Module):
         h = pool(h)
         h = nn.Conv(1, (1,), name="out")(h)
         return nn.sigmoid(h)
+
+
+# ---------------------------------------------------------------------------
+# Inference (nets/LS3DCG.py:365-391 infer_on_audio)
+# ---------------------------------------------------------------------------
+
+def infer_on_audio(gen: LS3DCGGenerator, gen_vars: dict, wav_file: str,
+                   num_samples: int = 1, sr: int = 22000, fps: int = 30,
+                   stand: bool = False, norm_stats=None):
+    """Speech wav -> (num_samples, T, 265) full SMPL-X motion.
+
+    Mirrors the reference chain: MFCC featurize (LS3DCG.py:381) ->
+    generator forward -> [jaw | body+hand | exp] channel reorder
+    (scripts/demo.py:221-222) -> part2full lower-body re-insertion.
+    The generator is deterministic given audio, so all samples are
+    identical (the reference repeats the same output B times too).
+    """
+    import functools
+
+    import jax
+    import numpy as np
+
+    from talkshow_tpu.ops import audio as audio_ops
+    from talkshow_tpu.ops import pose as pose_ops
+
+    feat = audio_ops.get_mfcc(wav_file, sr=sr, fps=fps)       # (T, 64)
+    x = jnp.asarray(feat, jnp.float32)[None]
+
+    @jax.jit
+    def run(gen_vars, x):
+        pred = gen.apply(gen_vars, x)                          # (1, T, 232)
+        # face-first layout -> [jaw3 | conv129 | exp100]
+        pred = jnp.concatenate(
+            [pred[..., :3], pred[..., 103:], pred[..., 3:103]], axis=-1)
+        return pred
+
+    pred = np.asarray(run(gen_vars, x))
+    if norm_stats is not None:
+        mean, std = (np.asarray(a, np.float32) for a in norm_stats)
+        if mean.shape[-1] != pred.shape[-1]:                   # stats over 165
+            idx = np.concatenate([np.arange(3), pose_ops.C_INDEX_3D])
+            mean = np.concatenate([mean[idx], np.zeros(100, np.float32)])
+            std = np.concatenate([std[idx], np.ones(100, np.float32)])
+        pred = pred * std + mean
+    T = pred.shape[1]
+    full = pose_ops.part2full(jnp.asarray(pred[0]), stand)     # (T, 265)
+    return np.broadcast_to(np.asarray(full)[None], (num_samples, T, 265)).copy()
