@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--resume", default=None, help="checkpoint dir to resume")
     p.add_argument("--vq_ckpt", default=None,
                    help="stage-1 checkpoint for s2g_body_pixel")
+    p.add_argument("--face_bucket", type=int, default=0,
+                   help="face stage: round clip lengths up to multiples of "
+                        "this many frames (compile O(#buckets) programs) "
+                        "and batch same-bucket clips")
+    p.add_argument("--face_batch_size", type=int, default=1)
     p.add_argument("--synthetic", action="store_true",
                    help="use a synthetic dataset (smoke runs)")
     p.add_argument("--seed", type=int, default=0)
@@ -67,14 +72,23 @@ def main():
         if feat == "raw":
             import numpy as np
             rng0 = np.random.default_rng(0)
-            # equal-length clips -> a single jit compilation for the
-            # whole-clip face stage
-            tmin = min(c.poses.shape[0] for c in ds.clips)
-            for c in ds.clips:
-                c.poses = c.poses[:tmin]
-                c.expression = c.expression[:tmin]
-                n = tmin * 16000 // 30
-                c.aud_feat = rng0.standard_normal((n, 1)).astype(np.float32)
+            if args.face_bucket:
+                # varied lengths: bucketing handles the compile count
+                for i, c in enumerate(ds.clips):
+                    t = c.poses.shape[0] - 7 * i
+                    c.poses = c.poses[:t]
+                    c.expression = c.expression[:t]
+                    n = t * 16000 // 30
+                    c.aud_feat = rng0.standard_normal((n, 1)).astype(np.float32)
+            else:
+                # equal-length clips -> a single jit compilation for the
+                # whole-clip face stage
+                tmin = min(c.poses.shape[0] for c in ds.clips)
+                for c in ds.clips:
+                    c.poses = c.poses[:tmin]
+                    c.expression = c.expression[:tmin]
+                    n = tmin * 16000 // 30
+                    c.aud_feat = rng0.standard_normal((n, 1)).astype(np.float32)
     else:
         cache = os.path.join(cfg.data.data_root or ".",
                              "train" + cfg.data.pklname)
@@ -156,7 +170,9 @@ def main():
         raise SystemExit(f"unknown stage {name}")
 
     trainer = Trainer(cfg, ds, init_state, step, needs_rng=needs_rng,
-                      run_dir=run_dir, batch_mode=batch_mode).setup()
+                      run_dir=run_dir, batch_mode=batch_mode,
+                      face_bucket_frames=args.face_bucket,
+                      face_batch_size=args.face_batch_size).setup()
     if args.resume:
         trainer.resume(args.resume)
     trainer.train(epochs=args.epochs)

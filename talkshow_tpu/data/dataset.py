@@ -171,28 +171,74 @@ class ShowDataset:
             group = [samples[j] for j in order[i:i + batch_size]]
             yield {k: np.stack([g[k] for g in group]) for k in group[0]}
 
-    def face_batches(self, num_classes: int = 4):
+    def face_batches(self, num_classes: int = 4, bucket_frames: int = 0,
+                     batch_size: int = 1):
         """Whole-clip batches for face training (the reference trains the
         face stage at batch 1 on whole clips with the raw 16 kHz waveform,
         config/face.json whole_video=true + batch_size 1).
 
         Requires clips loaded with feat='raw' (aud_feat (N, 1) @16 kHz).
-        Yields {'waveform' (1, N), 'id_onehot' (1, C), 'gt' (1, T, 265)}.
+        Yields {'waveform' (B, N), 'id_onehot' (B, C), 'gt' (B, T, 265)}.
+
+        bucket_frames > 0 enables TPU length bucketing: clip frame counts
+        are rounded up to a multiple of bucket_frames (waveforms padded in
+        proportion) so real datasets compile O(#buckets) programs instead
+        of O(#distinct clip lengths), and same-bucket clips are grouped
+        into batches of up to batch_size. Batches then also carry
+        valid_samples/valid_frames (B,), which the face model uses to keep
+        real frames numerically equal to the unpadded program.
         """
         from talkshow_tpu.ops.pose import SPEAKER_ID as _SID
+
+        def onehot_for(clip):
+            sid = _SID[clip.speaker] - 20
+            onehot = np.zeros((num_classes,), np.float32)
+            onehot[sid] = 1.0
+            return onehot
+
         for clip in self.clips:
             if clip.aud_feat.shape[-1] != 1:
                 raise ValueError("face_batches needs feat='raw' clips")
+
+        if not bucket_frames:
+            for clip in self.clips:
+                gt = np.concatenate([clip.poses, clip.expression], axis=-1)[None]
+                yield {
+                    "waveform": clip.aud_feat.reshape(1, -1),
+                    "id_onehot": onehot_for(clip)[None],
+                    "gt": gt.astype(np.float32),
+                }
+            return
+
+        # samples-per-frame rounded up so padded buffers always fit
+        spf = -(-16000 // 30)
+        buckets: dict[int, list] = {}
+        for clip in self.clips:
             t = clip.poses.shape[0]
-            gt = np.concatenate([clip.poses, clip.expression], axis=-1)[None]
-            sid = _SID[clip.speaker] - 20
-            onehot = np.zeros((1, num_classes), np.float32)
-            onehot[0, sid] = 1.0
-            yield {
-                "waveform": clip.aud_feat.reshape(1, -1),
-                "id_onehot": onehot,
-                "gt": gt.astype(np.float32),
-            }
+            tb = -(-t // bucket_frames) * bucket_frames
+            buckets.setdefault(tb, []).append(clip)
+        for tb in sorted(buckets):
+            group = buckets[tb]
+            nb = tb * spf
+            for i in range(0, len(group), batch_size):
+                chunk = group[i:i + batch_size]
+                B = len(chunk)
+                wav = np.zeros((B, nb), np.float32)
+                gt = np.zeros((B, tb, chunk[0].poses.shape[1]
+                               + chunk[0].expression.shape[1]), np.float32)
+                vs = np.zeros((B,), np.int32)
+                vf = np.zeros((B,), np.int32)
+                ids = np.zeros((B, num_classes), np.float32)
+                for j, clip in enumerate(chunk):
+                    n = min(clip.aud_feat.shape[0], nb)
+                    t = clip.poses.shape[0]
+                    wav[j, :n] = clip.aud_feat.reshape(-1)[:n]
+                    gt[j, :t] = np.concatenate(
+                        [clip.poses, clip.expression], axis=-1)
+                    vs[j], vf[j] = n, t
+                    ids[j] = onehot_for(clip)
+                yield {"waveform": wav, "id_onehot": ids, "gt": gt,
+                       "valid_samples": vs, "valid_frames": vf}
 
     def whole_clips(self):
         """Eval mode: full clips (mesh_dataset.py:246-248)."""

@@ -28,7 +28,8 @@ class FaceAudioMiddle(nn.Module):
     identity: bool = True
 
     @nn.compact
-    def __call__(self, x, id_onehot=None, train: bool = False):
+    def __call__(self, x, id_onehot=None, train: bool = False,
+                 frame_mask=None):
         # x: (B, T, 256); id_onehot: (B, num_classes)
         h = nn.Dropout(0.1, deterministic=not train)(x)
         if self.identity:
@@ -37,7 +38,7 @@ class FaceAudioMiddle(nn.Module):
             idf = nn.Conv(64, (1,), name="id_mlp")(idf)
             h = jnp.concatenate([h, idf], axis=-1)
         h = SeqTranslator1D(self.out_dim, min_layers_num=3, residual=True,
-                            norm="ln", name="first_net")(h, train)
+                            norm="ln", name="first_net")(h, train, frame_mask)
         return h
 
 
@@ -48,15 +49,16 @@ class FaceDecoderHeads(nn.Module):
     hidden: int = 256
 
     @nn.compact
-    def __call__(self, feature, train: bool = False):
+    def __call__(self, feature, train: bool = False, frame_mask=None):
         h = feature
         for i in range(3):
-            h = CNR1d(64, norm="ln", name=f"jaw_cnr_{i}")(h, train)
+            h = CNR1d(64, norm="ln", name=f"jaw_cnr_{i}")(h, train, frame_mask)
         jaw = nn.Conv(self.jaw_dim, (1,), name="jaw_out")(h)
 
         g = feature
         for i in range(3):
-            g = CNR1d(self.hidden, norm="ln", name=f"exp_cnr_{i}")(g, train)
+            g = CNR1d(self.hidden, norm="ln", name=f"exp_cnr_{i}")(g, train,
+                                                                   frame_mask)
         exp = nn.Conv(self.exp_dim, (1,), name="exp_out")(g)
         return jnp.concatenate([jaw, exp], axis=-1)
 
@@ -75,11 +77,20 @@ class FaceGenerator(nn.Module):
         self.audio_middle = FaceAudioMiddle(256, self.num_classes, self.identity)
         self.heads = FaceDecoderHeads(self.jaw_dim, self.exp_dim)
 
-    def __call__(self, waveform, id_onehot, time_steps: int, train: bool = False):
-        hidden = self.audio_encoder(waveform, time_steps, train)  # (B, T, 768)
+    def __call__(self, waveform, id_onehot, time_steps: int,
+                 train: bool = False, valid_samples=None, valid_frames=None):
+        """valid_samples/valid_frames (B,) enable length-bucketed batches:
+        waveform/time axes padded to a bucket, real frames numerically
+        equal to the unpadded program (see Wav2Vec2Encoder.__call__)."""
+        hidden = self.audio_encoder(waveform, time_steps, train,
+                                    valid_samples, valid_frames)
         feature = self.audio_feature_map(hidden)            # (B, T, 256)
-        feature = self.audio_middle(feature, id_onehot, train)
-        return self.heads(feature, train)
+        frame_mask = None
+        if valid_frames is not None:
+            frame_mask = (jnp.arange(time_steps)[None, :, None]
+                          < valid_frames[:, None, None]).astype(feature.dtype)
+        feature = self.audio_middle(feature, id_onehot, train, frame_mask)
+        return self.heads(feature, train, frame_mask)
 
     def from_features(self, hidden, id_onehot, train: bool = False):
         """Head-only path for precomputed wav2vec features (B, T, 768)."""

@@ -121,7 +121,12 @@ class CNR1d(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, frame_mask=None):
+        # frame_mask (B, T, 1): zero padded frames at conv entry so the
+        # SAME padding a real boundary frame reads matches the unpadded
+        # program's explicit zeros (length-bucketed batches).
+        if frame_mask is not None:
+            x = x * frame_mask
         pad = (self.kernel - self.stride) // 2
         out = nn.Conv(self.out_channels, (self.kernel,), (self.stride,),
                       padding=[(pad, pad)])(x)
@@ -151,12 +156,36 @@ class SeqTranslator1D(nn.Module):
     norm: str = "bn"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, frame_mask=None):
         h = x
         for i in range(max(1, self.min_layers_num)):
             h = CNR1d(self.out_channels, residual=self.residual, norm=self.norm,
-                      name=f"conv_{i}")(h, train)
+                      name=f"conv_{i}")(h, train, frame_mask)
         return h
+
+
+def masked_linear_interpolate(x: jnp.ndarray, out_len: int,
+                              in_valid, out_valid) -> jnp.ndarray:
+    """linear_interpolate with DYNAMIC per-example valid lengths.
+
+    x: (B, T_pad, C) where only the first in_valid[b] frames are real;
+    returns (B, out_len, C) whose first out_valid[b] frames equal
+    linear_interpolate(x[b, :in_valid[b]], out_valid[b]) — the grid uses
+    the true ratio, so length-bucketed padding does not perturb real
+    frames. One compiled program serves every (in_valid, out_valid)."""
+    in_len = x.shape[1]
+    in_v = jnp.asarray(in_valid, jnp.float32)[:, None]      # (B, 1)
+    out_v = jnp.asarray(out_valid, jnp.float32)[:, None]
+    scale = in_v / out_v
+    pos = (jnp.arange(out_len, dtype=jnp.float32)[None, :] + 0.5) * scale - 0.5
+    pos = jnp.clip(pos, 0.0, in_v - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_v.astype(jnp.int32) - 1)
+    hi = jnp.minimum(hi, in_len - 1)
+    w = (pos - lo)[..., None]
+    x_lo = jnp.take_along_axis(x, lo[..., None], axis=1)
+    x_hi = jnp.take_along_axis(x, hi[..., None], axis=1)
+    return x_lo * (1 - w) + x_hi * w
 
 
 def linear_interpolate(x: jnp.ndarray, out_len: int) -> jnp.ndarray:

@@ -23,7 +23,9 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 from flax import linen as nn
 
-from talkshow_tpu.models.layers import linear_interpolate
+import jax
+
+from talkshow_tpu.models.layers import linear_interpolate, masked_linear_interpolate
 
 
 @dataclass(frozen=True)
@@ -40,21 +42,68 @@ class Wav2Vec2Config:
     layer_norm_eps: float = 1e-5
 
 
+class ChannelGroupNorm(nn.Module):
+    """GroupNorm with one group per channel (= InstanceNorm over time),
+    with optional per-example time masking for length-bucketed batches.
+
+    The time axis enters the statistics, so appending padded frames would
+    shift every real frame's normalization; masked statistics keep real
+    frames bit-equal to the unpadded program (padded positions contribute
+    exact zeros to the sums)."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if mask is None:
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
+        else:
+            n = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(x * mask, axis=1, keepdims=True) / n
+            var = jnp.sum(((x - mean) ** 2) * mask, axis=1, keepdims=True) / n
+        h = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return h * scale + bias
+
+
+def conv_valid_length(num_samples, cfg: Wav2Vec2Config):
+    """Valid (unpadded) feature length after the VALID conv stack; works on
+    python ints and traced int arrays alike."""
+    n = num_samples
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        n = (n - k) // s + 1
+    return n
+
+
 class FeatureExtractor(nn.Module):
     """Raw waveform (B, T) -> (B, T', conv_dim[-1]); VALID convs, no bias.
-    First layer followed by channel-wise GroupNorm (group per channel)."""
+    First layer followed by channel-wise GroupNorm (group per channel).
+
+    valid_samples (B,) enables length-masked normalization: because the
+    convs are VALID, feature frame j < valid_len depends only on real
+    samples, so masking the norm statistics is sufficient for real-frame
+    parity with the unpadded program."""
     cfg: Wav2Vec2Config
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_samples=None):
         h = x[:, :, None]  # (B, T, 1)
+        n_valid = valid_samples
         for i, (dim, k, s) in enumerate(
                 zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)):
             h = nn.Conv(dim, (k,), (s,), padding="VALID", use_bias=False,
                         name=f"conv_{i}")(h)
+            if n_valid is not None:
+                n_valid = (n_valid - k) // s + 1
             if i == 0:
-                h = nn.GroupNorm(num_groups=dim, epsilon=self.cfg.layer_norm_eps,
-                                 name="group_norm")(h)
+                mask = None
+                if n_valid is not None:
+                    mask = (jnp.arange(h.shape[1])[None, :, None]
+                            < n_valid[:, None, None]).astype(h.dtype)
+                h = ChannelGroupNorm(epsilon=self.cfg.layer_norm_eps,
+                                     name="group_norm")(h, mask)
             h = nn.gelu(h, approximate=False)
         return h
 
@@ -88,14 +137,14 @@ class EncoderLayer(nn.Module):
     cfg: Wav2Vec2Config
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_mask=None):
         attn_out = nn.MultiHeadDotProductAttention(
             num_heads=self.cfg.num_heads,
             qkv_features=self.cfg.hidden_size,
             out_features=self.cfg.hidden_size,
             use_bias=True,
             name="attention",
-        )(x, x)
+        )(x, x, mask=attn_mask)
         x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="layer_norm")(x + attn_out)
         h = nn.Dense(self.cfg.intermediate_size, name="ffn_intermediate")(x)
         h = nn.gelu(h, approximate=False)
@@ -144,16 +193,44 @@ class Wav2Vec2Encoder(nn.Module):
         mask = jnp.any(span, axis=1)                             # (B, T)
         return jnp.where(mask[..., None], self.masked_spec_embed, x)
 
-    def __call__(self, waveform, frame_num: int, train: bool = False):
-        feats = self.feature_extractor(waveform)            # (B, T50, 512)
-        feats = linear_interpolate(feats, frame_num)        # 50 Hz -> 30 fps
+    def __call__(self, waveform, frame_num: int, train: bool = False,
+                 valid_samples=None, valid_frames=None):
+        """valid_samples/valid_frames (B,) int arrays enable the
+        length-bucketed path: waveform/frame axes are padded to a bucket
+        size and real frames stay numerically equal to the unpadded
+        program (VALID convs + masked GroupNorm stats + masked pos-conv
+        input + masked attention; see FeatureExtractor docstring)."""
+        masked = valid_samples is not None
+        feats = self.feature_extractor(
+            waveform, valid_samples if masked else None)    # (B, T50, 512)
+        if masked:
+            in_valid = conv_valid_length(valid_samples, self.cfg)
+            feat_mask = (jnp.arange(feats.shape[1])[None, :, None]
+                         < in_valid[:, None, None]).astype(feats.dtype)
+            feats = feats * feat_mask
+            feats = masked_linear_interpolate(feats, frame_num, in_valid,
+                                              valid_frames)
+            frame_mask = (jnp.arange(frame_num)[None, :, None]
+                          < valid_frames[:, None, None]).astype(feats.dtype)
+        else:
+            feats = linear_interpolate(feats, frame_num)    # 50 Hz -> 30 fps
+            frame_mask = None
         x = self.feature_projection(feats)
         if train and self.mask_time_prob > 0 and self.has_rng("spec_augment"):
             x = self._spec_augment(x)
+        if masked:
+            # zero padded frames so the pos-conv's reach into the pad region
+            # sees exactly the zeros the unpadded program's SAME padding has
+            x = x * frame_mask
         x = x + self.pos_conv_embed(x)
         x = self.encoder_layer_norm(x)
+        attn_mask = None
+        if masked:
+            key_valid = frame_mask[:, None, None, :, 0] > 0   # (B,1,1,T)
+            attn_mask = jnp.broadcast_to(
+                key_valid, (x.shape[0], 1, x.shape[1], x.shape[1]))
         for layer in self.encoder_layers:
-            x = layer(x)
+            x = layer(x, attn_mask)
         return x
 
     def extract_features(self, waveform):

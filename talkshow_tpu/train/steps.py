@@ -202,7 +202,10 @@ def _face_param_labels(params):
 
 def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
                    momentum: float = 0.9, max_grad_norm: float = 5.0,
-                   window: int = 88):
+                   window: int = 88, stochastic: bool = True):
+    """stochastic=False disables dropout/SpecAugment (their random masks are
+    shape-dependent, so padded-bucket and unpadded programs cannot draw the
+    same pattern; the deterministic path is bit-comparable across both)."""
     def make_tx(params):
         return skip_nonfinite_updates(optax.multi_transform(
             {"train": optax.chain(optax.clip_by_global_norm(max_grad_norm),
@@ -219,20 +222,35 @@ def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
         tx = make_tx(v["params"])
         return FaceState(v["params"], tx.init(v["params"]), jnp.zeros((), jnp.int32))
 
-    def loss_fn(params, waveform, id_onehot, gt, rng):
+    def loss_fn(params, waveform, id_onehot, gt, rng, valid_samples,
+                valid_frames):
         frames = gt.shape[1]
         r_drop, r_mask = jax.random.split(rng)
-        pred = face.apply({"params": params}, waveform, id_onehot, frames, True,
-                          rngs={"dropout": r_drop, "spec_augment": r_mask})
-        l1 = jnp.mean(jnp.abs(pred[..., :6] - gt[..., :6]))
-        mse = jnp.mean((pred[..., -100:] - gt[..., -100:]) ** 2)
+        pred = face.apply({"params": params}, waveform, id_onehot, frames,
+                          stochastic,
+                          rngs={"dropout": r_drop, "spec_augment": r_mask}
+                          if stochastic else {},
+                          valid_samples=valid_samples,
+                          valid_frames=valid_frames)
+        if valid_frames is None:
+            l1 = jnp.mean(jnp.abs(pred[..., :6] - gt[..., :6]))
+            mse = jnp.mean((pred[..., -100:] - gt[..., -100:]) ** 2)
+        else:
+            # mean over real frames only (padded tail excluded exactly)
+            m = (jnp.arange(frames)[None, :, None]
+                 < valid_frames[:, None, None]).astype(pred.dtype)
+            n = jnp.sum(m)
+            l1 = jnp.sum(jnp.abs(pred[..., :6] - gt[..., :6]) * m) / (n * 6)
+            mse = jnp.sum(((pred[..., -100:] - gt[..., -100:]) ** 2) * m) / (n * 100)
         return l1 + mse, {"MSELoss": l1, "exp_loss": mse}
 
     def step(state: FaceState, batch, rng) -> tuple[FaceState, dict]:
-        """batch: waveform (B, N), id_onehot (B, 4), gt (B, T, >=106)."""
+        """batch: waveform (B, N), id_onehot (B, 4), gt (B, T, >=106);
+        optionally valid_samples/valid_frames (B,) for bucketed batches."""
         tx = make_tx(state.params)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch["waveform"], batch["id_onehot"], batch["gt"], rng)
+            state.params, batch["waveform"], batch["id_onehot"], batch["gt"], rng,
+            batch.get("valid_samples"), batch.get("valid_frames"))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics, loss=loss, grad=optax.global_norm(grads),

@@ -71,6 +71,8 @@ class Trainer:
     history: list = field(default_factory=list)
     mesh: Any = None        # jax.sharding.Mesh for dp x tp training
     batch_mode: str = "windows"   # "windows" | "face_clips"
+    face_bucket_frames: int = 0   # >0: length-bucketed face batches
+    face_batch_size: int = 1
 
     def setup(self, rng=None):
         os.makedirs(self.run_dir, exist_ok=True)
@@ -131,7 +133,9 @@ class Trainer:
             t0 = time.time()
             if self.batch_mode == "face_clips":
                 # whole clips, batch 1 (face stage; config/face.json)
-                batch_iter = self.dataset.face_batches()
+                batch_iter = self.dataset.face_batches(
+                    bucket_frames=self.face_bucket_frames,
+                    batch_size=self.face_batch_size)
             else:
                 batch_iter = self.dataset.batches(
                     self.config.train.batch_size, np_rng)
