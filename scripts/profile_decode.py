@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Isolate the AR decode's on-device cost (chained inside one dispatch)."""
+"""Isolate the AR decode's on-device cost (chained inside one dispatch).
+
+Measurement note (axon remote attach): every dispatch+readback pays ~30 ms
+of tunnel RTT, which divides by the chain length K.  K=64 leaves < 0.5 ms of
+RTT per clip in the numbers below; treat them as device time + ~0.5 ms.
+"""
 import os
 import sys
 import time
@@ -11,50 +16,51 @@ import jax
 import jax.numpy as jnp
 
 
+def chain(fn, K, key):
+    @jax.jit
+    def run_k(key):
+        def step(c, k):
+            t = fn(k)
+            return c, t[:, -1, -1]
+        _, outs = jax.lax.scan(step, 0, jax.random.split(key, K))
+        return outs
+    r = run_k(key)
+    np.asarray(r)
+    t0 = time.perf_counter()
+    r = run_k(jax.random.fold_in(key, 1))
+    np.asarray(r)
+    return (time.perf_counter() - t0) * 1000 / K
+
+
 def main():
     from talkshow_tpu.models.body import create_body_models
     from talkshow_tpu.models.pixelcnn import sample_tokens
+    from talkshow_tpu.models.pixelcnn_pallas import (pack_decode_tables,
+                                                     sample_tokens_fused)
 
     body = create_body_models(jax.random.PRNGKey(0))
-    B, H = 1, 75
+    B, H, K = 1, 75, 64
     audio = jnp.zeros((B, H, 256))
     ids = jnp.zeros((B,), jnp.int32)
-    K = 8
+    key = jax.random.PRNGKey(1)
 
-    @jax.jit
-    def run_k(prior_vars, audio, key):
-        def step(c, k):
-            t = sample_tokens(body.prior, prior_vars, ids, audio, k)
-            return c, t[:, -1, -1]
-        _, outs = jax.lax.scan(step, 0, jax.random.split(key, K))
-        return outs
+    ms = chain(lambda k: sample_tokens(body.prior, body.prior_vars, ids,
+                                       audio, k), K, key)
+    print(f"xla scan decode   (B=1, H={H}): {ms:6.2f} ms/clip")
 
-    pv = body.prior_vars
-    r = run_k(pv, audio, jax.random.PRNGKey(1))
-    np.asarray(r)
-    t0 = time.perf_counter()
-    r = run_k(pv, audio, jax.random.PRNGKey(2))
-    np.asarray(r)
-    ms = (time.perf_counter() - t0) * 1000 / K
-    print(f"ar_decode_device_ms per clip (H={H}): {ms:.2f}")
+    tables = jax.jit(lambda v: pack_decode_tables(body.prior, v))(
+        body.prior_vars)
+    ms = chain(lambda k: sample_tokens_fused(
+        body.prior, body.prior_vars, ids, audio, k, tables=tables,
+        interpret=False), K, key)
+    print(f"fused pallas decode (B=1, H={H}): {ms:6.2f} ms/clip")
 
-    # B=4 batched diversity
+    # B=4 batched diversity (XLA path; fused kernel is B=1)
     audio4 = jnp.zeros((4, H, 256))
     ids4 = jnp.zeros((4,), jnp.int32)
-
-    @jax.jit
-    def run_k4(prior_vars, audio, key):
-        def step(c, k):
-            t = sample_tokens(body.prior, prior_vars, ids4, audio, k)
-            return c, t[:, -1, -1]
-        _, outs = jax.lax.scan(step, 0, jax.random.split(key, K))
-        return outs
-
-    r = run_k4(pv, audio4, jax.random.PRNGKey(1)); np.asarray(r)
-    t0 = time.perf_counter()
-    r = run_k4(pv, audio4, jax.random.PRNGKey(2)); np.asarray(r)
-    ms = (time.perf_counter() - t0) * 1000 / K
-    print(f"ar_decode_device_ms per clip (B=4): {ms:.2f}")
+    ms = chain(lambda k: sample_tokens(body.prior, body.prior_vars, ids4,
+                                       audio4, k), 16, key)
+    print(f"xla scan decode   (B=4, H={H}): {ms:6.2f} ms/clip-batch")
 
 
 if __name__ == "__main__":

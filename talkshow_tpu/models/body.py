@@ -74,16 +74,30 @@ def encode_audio(models: BodyModels, mfcc_feat: jnp.ndarray) -> jnp.ndarray:
 
 def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
                         speaker_id: jnp.ndarray, rng: jax.Array,
-                        prefix_tokens=None, prefix_len: int = 0):
+                        prefix_tokens=None, prefix_len: int = 0,
+                        use_fused: bool | None = None):
     """MFCC (B, T, 64) + speaker ids (B,) -> conv poses (B, 4*(T//4), 129).
 
     The inference mirror of smplx_body_pixel.infer_on_audio (:232-289):
     audio encode -> AR token sampling -> VQ decode -> [body | hand] concat.
+
+    use_fused: route the AR decode through the single-kernel Pallas decoder
+    (models/pixelcnn_pallas.py, ~3.5x faster).  Default (None) auto-selects
+    it on TPU for B == 1; the XLA lax.scan sampler handles everything else.
     """
     audio = encode_audio(models, mfcc_feat)                  # (B, H, 256)
-    tokens = sample_tokens(models.prior, models.prior_vars, speaker_id, audio,
-                           rng, prefix_tokens=prefix_tokens,
-                           prefix_len=prefix_len)            # (B, H, 2)
+    if use_fused is None:
+        use_fused = (jax.default_backend() == "tpu"
+                     and audio.shape[0] == 1 and models.prior.bh_model)
+    if use_fused:
+        from talkshow_tpu.models.pixelcnn_pallas import sample_tokens_fused
+        tokens = sample_tokens_fused(
+            models.prior, models.prior_vars, speaker_id, audio, rng,
+            prefix_tokens=prefix_tokens, prefix_len=prefix_len)
+    else:
+        tokens = sample_tokens(models.prior, models.prior_vars, speaker_id,
+                               audio, rng, prefix_tokens=prefix_tokens,
+                               prefix_len=prefix_len)        # (B, H, 2)
     body = models.vq_body.apply(models.vq_body_vars, tokens[..., 0],
                                 models.vq_body_state,
                                 method=VQVAE.decode_latents)  # (B, 4H, 39)

@@ -1,0 +1,403 @@
+"""Fused single-kernel Pallas TPU decoder for the Gated PixelCNN prior.
+
+The XLA `sample_tokens` path (models/pixelcnn.py) is already O(H), but its
+75-row lax.scan dispatches ~80 small XLA ops per row and measures ~9 ms of
+the ~12 ms per-clip device time.  This module fuses the ENTIRE autoregressive
+decode — vertical stack, both horizontal column passes, output head,
+categorical sampling and embedding feedback — into ONE `pallas_call` whose
+weights stay VMEM-resident for the whole decode (v5e VMEM is 128 MB; the
+16 MB figure previously documented is only the compiler's default
+`vmem_limit_bytes`, which we raise).  Matches the math of reference
+`nets/spg/gated_pixelcnn_v2.py:90-177` (behavioural mirror; see
+models/pixelcnn.py for the layer-by-layer mapping).
+
+Key layout tricks (all derived from the flax conv semantics and verified by
+tests/test_pixelcnn_pallas.py):
+
+* Vertical convs as two matmuls per layer.  With the carried two-row state
+  packed as lanes ``X2 = [prev_c0 | cur_c0 | prev_c1 | cur_c1]`` and the
+  conv kernel packed kc-major/row-minor into a slab, the pre-gate features
+  of BOTH output columns are contiguous-row slices of that slab:
+  ``col0 = X2 @ slab[2*dim : 6*dim]`` and ``col1 = X2 @ slab[0 : 4*dim]``
+  — same LHS for both (output col j consumes kernel column kc = c - j + 1,
+  which pairs every lane block with the same input column either way).
+  Layer 0 (mask A, 3 history rows) works identically from a ``(1, 6*dim)``
+  embedding-history vector.
+* Horizontal stack as one matmul per layer per pass:
+  ``W_both = [[self, left], [0, self]]`` maps ``[x_c0 | x_c1]`` to both
+  columns' pre-gate features in a single ``(1, 2d) @ (2d, 4d)`` dot.
+  Mask A's "strictly left" tap falls out by packing self=0 for layer 0.
+* Mosaic cannot concatenate vectors across lane tiles, so gated halves are
+  assembled through VMEM scratch slice writes, and the residual 1x1 conv is
+  a block-diagonal matmul.
+* Sampling is gumbel-argmax over the logits.  The gumbel noise is drawn
+  OUTSIDE the kernel with `jax.random.gumbel`, split per row/column exactly
+  like the lax.scan sampler splits its keys — `jax.random.categorical` IS
+  gumbel-argmax, so for matching weights the fused decode reproduces the
+  XLA sampler's tokens bit-for-bit (modulo float reassociation in the
+  logits; tests pin seeds).  Teacher-forced rows (prefix continuation)
+  bypass sampling, and the emitted logits match the teacher-forced XLA
+  forward.
+
+All matmuls run in `dtype` (bfloat16 in production, float32 for the
+interpret-mode parity tests) with float32 accumulation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Weight packing (label/audio independent; do once per loaded model)
+# ---------------------------------------------------------------------------
+
+def pack_decode_tables(model, variables: Any, dtype=jnp.bfloat16) -> dict:
+    """Rearrange flax PixelCNN params into MXU-friendly resident tables.
+
+    Pure function of `variables` (jittable).  Returns a dict pytree; pass it
+    to `sample_tokens_fused`.  Label- and audio-dependent conditioning is
+    computed per call instead (it is tiny).
+    """
+    if not model.bh_model:
+        raise NotImplementedError("fused decode requires bh_model=True")
+    p = variables["params"]
+    L, dim, K = model.n_layers, model.dim, model.input_dim
+    D2 = 2 * dim
+    if dim % LANE:
+        raise ValueError(f"dim={dim} must be a multiple of {LANE}")
+    Kp = _ceil_to(K, LANE)
+
+    def vert_slab(l):
+        lp = p[f"layer_{l}"]
+        k = lp["vert_stack"]["kernel"]            # (vrows, 3, dim, D2)
+        vrows = k.shape[0]
+        # kc-major, row-minor: slab row block (kc*vrows + r) holds K[r, kc].
+        blocks = [k[r, kc] for kc in range(3) for r in range(vrows)]
+        blocks.append(lp["vert_to_horiz"]["kernel"][0, 0])     # (D2, D2)
+        return jnp.concatenate(blocks, axis=0).astype(dtype)
+
+    slab0 = vert_slab(0)                                   # (9*dim + D2, D2)
+    slabsB = jnp.stack([vert_slab(l) for l in range(1, L)])  # (L-1, 6*dim+D2, D2)
+
+    def wh_both(l):
+        k = p[f"layer_{l}"]["horiz_stack"]["kernel"]       # (1, hcols, dim, D2)
+        if k.shape[1] == 1:        # mask A: strictly-left tap only
+            left, self_ = k[0, 0], jnp.zeros_like(k[0, 0])
+        else:                      # mask B: [left, self]
+            left, self_ = k[0, 0], k[0, 1]
+        z = jnp.zeros_like(left)
+        top = jnp.concatenate([self_, left], axis=1)       # x_c0 row block
+        bot = jnp.concatenate([z, self_], axis=1)          # x_c1 row block
+        return jnp.concatenate([top, bot], axis=0)         # (D2, 2*D2)
+
+    whb = jnp.stack([wh_both(l) for l in range(L)]).astype(dtype)
+
+    def blockdiag(m):
+        z = jnp.zeros_like(m)
+        return jnp.concatenate([jnp.concatenate([m, z], 1),
+                                jnp.concatenate([z, m], 1)], 0)
+
+    rbd = jnp.stack([
+        blockdiag(p[f"layer_{l}"]["horiz_resid"]["kernel"][0, 0])
+        for l in range(L)
+    ]).astype(dtype)                                       # (L, D2, D2)
+
+    if model.audio:
+        fv = p["fusion_v"]["kernel"][0, 0]                 # (D2, dim)
+        fh = p["fusion_h"]["kernel"][0, 0]
+        fvbd = blockdiag(fv[:dim]).astype(dtype)           # x-part, both cols
+        fhbd = blockdiag(fh[:dim]).astype(dtype)
+    else:
+        fvbd = jnp.zeros((D2, D2), dtype)
+        fhbd = jnp.zeros((D2, D2), dtype)
+
+    w1 = p["out_hidden"]["kernel"][0, 0].astype(dtype)     # (dim, D2)
+    w2 = p["out_logits"]["kernel"][0, 0]                   # (D2, K)
+    w2 = jnp.pad(w2, ((0, 0), (0, Kp - K))).astype(dtype)
+    emb = jnp.pad(p["embedding"]["embedding"],
+                  ((0, Kp - K), (0, 0))).astype(dtype)     # (Kp, dim)
+
+    f32 = jnp.float32
+    bv = jnp.stack([p[f"layer_{l}"]["vert_stack"]["bias"]
+                    for l in range(L)]).astype(f32)        # (L, D2)
+    bh_sum = jnp.stack([
+        p[f"layer_{l}"]["vert_to_horiz"]["bias"]
+        + p[f"layer_{l}"]["horiz_stack"]["bias"] for l in range(L)
+    ]).astype(f32)                                         # (L, D2)
+    br = jnp.stack([p[f"layer_{l}"]["horiz_resid"]["bias"]
+                    for l in range(L)]).astype(f32)        # (L, dim)
+    headb = jnp.zeros((8, max(Kp, D2)), f32)
+    headb = headb.at[0, :D2].set(p["out_hidden"]["bias"].astype(f32))
+    headb = headb.at[1, :K].set(p["out_logits"]["bias"].astype(f32))
+
+    return dict(slab0=slab0, slabsB=slabsB, whb=whb, rbd=rbd, fvbd=fvbd,
+                fhbd=fhbd, w1=w1, w2=w2, emb=emb, bv=bv, bh_sum=bh_sum,
+                br=br, headb=headb)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
+                 dtype, use_prng: bool, ablate: frozenset = frozenset()):
+    """`ablate` disables kernel stages for profiling (wrong numerics):
+    'vert', 'v2h', 'horiz', 'pass2', 'head'.  See scripts/profile_decode.py.
+    """
+    D2 = 2 * dim
+
+    def kernel(pref_ref, seed_ref, tokin_ref,                       # SMEM in
+               bv_ref, cls_ref, bhcb_ref, brb_ref, audv_ref, audh_ref,
+               headb_ref, noise_ref,                                # f32 in
+               slab0_ref, slabsB_ref, whb_ref, rbd_ref, fvbd_ref, fhbd_ref,
+               w1_ref, w2_ref, emb_ref,                             # dtype in
+               tok_ref, logit_ref,                                  # out
+               vstate, ehist, v2hc, hg, hx):                        # scratch
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0], seed_ref[1])
+        vstate[...] = jnp.zeros_like(vstate)
+        ehist[...] = jnp.zeros_like(ehist)
+        v2hc[...] = jnp.zeros_like(v2hc)
+        tok_ref[...] = jnp.zeros_like(tok_ref)
+        logit_ref[...] = jnp.zeros_like(logit_ref)
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a.astype(dtype), b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def gate_cols(pre_c0, pre_c1):
+            """gate() per column -> (1, D2) [g_c0 | g_c1] via scratch."""
+            hg[0:1, :dim] = (jnp.tanh(pre_c0[:, :dim])
+                             * jax.nn.sigmoid(pre_c0[:, dim:]))
+            hg[0:1, dim:] = (jnp.tanh(pre_c1[:, :dim])
+                             * jax.nn.sigmoid(pre_c1[:, dim:]))
+            return hg[0:1, :]
+
+        def head_logits(xc):
+            if "head" in ablate:
+                return jnp.zeros((1, Kp), jnp.float32)
+            h = jnp.maximum(dot(xc, w1_ref[...]) + headb_ref[0:1, :D2], 0.0)
+            return dot(h, w2_ref[...]) + headb_ref[1:2, :Kp]
+
+        def sample_col(logits, r, j):
+            if use_prng:
+                # hardware PRNG gumbel (distribution-equivalent fast path;
+                # threefry gumbel on the host path costs ~10 ms per decode)
+                bits = pltpu.bitcast(pltpu.prng_random_bits((1, Kp)),
+                                     jnp.uint32)
+                u = (pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)
+                     * (1.0 / (1 << 24)) + 2.0 ** -25)
+                z = logits - jnp.log(-jnp.log(u))
+                if Kp != K:
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
+                    z = jnp.where(lane < K, z, -1e30)
+            else:
+                z = logits + noise_ref[pl.ds(2 * r + j, 1), :]
+            t = jnp.argmax(z, axis=-1)[0].astype(jnp.int32)
+            t = jnp.where(r < pref_ref[0], tokin_ref[r, j], t)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1) == t)
+            e = dot(oh.astype(dtype), emb_ref[...])            # (1, dim) f32
+            logit_ref[pl.ds(2 * r + j, 1), :] = logits
+            return t, e
+
+        def horiz_pass(r, e_seed):
+            """One column pass; e_seed (1, dim) f32 seeds x_h col 0."""
+            hx[0:1, :dim] = e_seed
+            hx[0:1, dim:] = jnp.zeros((1, dim), jnp.float32)
+            xh = hx[0:1, :]
+            for l in range(L if "horiz" not in ablate else 0):
+                if l == 1 and use_audio:
+                    xh = dot(xh, fhbd_ref[...]) + audh_ref[pl.ds(r, 1), :]
+                hb = dot(xh, whb_ref[l])                       # (1, 2*D2)
+                pre = hb + v2hc[l:l + 1, :] + bhcb_ref[l:l + 1, :]
+                g = gate_cols(pre[:, :D2], pre[:, D2:])
+                out = dot(g, rbd_ref[l]) + brb_ref[l:l + 1, :]
+                xh = out + xh if l > 0 else out
+            return xh
+
+        def row_body(r, carry):
+            # ---- vertical stack: advance every layer one row --------------
+            for l in range(L if "vert" not in ablate else 0):
+                if l == 0:
+                    x3 = ehist[0:1, :]                         # (1, 6*dim)
+                    hv_c0 = dot(x3, slab0_ref[3 * dim:9 * dim, :])
+                    hv_c1 = dot(x3, slab0_ref[0:6 * dim, :])
+                    v2h_w = slab0_ref[9 * dim:, :]
+                else:
+                    X2 = vstate[l:l + 1, :]
+                    slab = slabsB_ref[l - 1]
+                    hv_c0 = dot(X2, slab[2 * dim:6 * dim, :])
+                    hv_c1 = dot(X2, slab[0:4 * dim, :])
+                    v2h_w = slab[6 * dim:, :]
+                hv_c0 = hv_c0 + bv_ref[l:l + 1, :]
+                hv_c1 = hv_c1 + bv_ref[l:l + 1, :]
+                if "v2h" not in ablate:
+                    v2hc[l:l + 1, :D2] = dot(hv_c0, v2h_w)
+                    v2hc[l:l + 1, D2:] = dot(hv_c1, v2h_w)
+                if l < L - 1:
+                    xn = gate_cols(hv_c0 + cls_ref[l:l + 1, :],
+                                   hv_c1 + cls_ref[l:l + 1, :])  # (1, D2)
+                    if l == 0 and use_audio:
+                        xn = dot(xn, fvbd_ref[...]) + audv_ref[pl.ds(r, 1), :]
+                    # next layer's X2: [prev_c0 | cur_c0 | prev_c1 | cur_c1]
+                    old_c0 = vstate[l + 1:l + 2, dim:2 * dim]
+                    old_c1 = vstate[l + 1:l + 2, 3 * dim:]
+                    vstate[l + 1:l + 2, 0:dim] = old_c0
+                    vstate[l + 1:l + 2, dim:2 * dim] = xn[:, :dim]
+                    vstate[l + 1:l + 2, 2 * dim:3 * dim] = old_c1
+                    vstate[l + 1:l + 2, 3 * dim:] = xn[:, dim:]
+
+            # ---- column 0: zero-seeded pass, sample t0 ---------------------
+            xh = horiz_pass(r, jnp.zeros((1, dim), jnp.float32))
+            t0, e0 = sample_col(head_logits(xh[:, :dim]), r, 0)
+            # ---- column 1: e0-seeded pass, sample t1 -----------------------
+            if "pass2" not in ablate:
+                xh = horiz_pass(r, e0)
+                t1, e1 = sample_col(head_logits(xh[:, dim:]), r, 1)
+            else:
+                t1, e1 = t0, e0
+
+            # ---- emit tokens + roll embedding history ----------------------
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            tok_ref[pl.ds(r, 1), :] = jnp.where(
+                lane_ids == 0, t0, jnp.where(lane_ids == 1, t1, 0))
+            h12_c0 = ehist[0:1, dim:3 * dim]
+            h12_c1 = ehist[0:1, 4 * dim:]
+            ehist[0:1, 0:2 * dim] = h12_c0
+            ehist[0:1, 2 * dim:3 * dim] = e0
+            ehist[0:1, 3 * dim:5 * dim] = h12_c1
+            ehist[0:1, 5 * dim:] = e1
+            return carry
+
+        jax.lax.fori_loop(0, H, row_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "prefix_len", "dtype", "interpret", "noise",
+                     "ablate"))
+def _sample_fused(model, tables, variables, label, audio, rng,
+                  prefix_tokens, prefix_len, dtype, interpret,
+                  noise="prng", ablate=frozenset()):
+    p = variables["params"]
+    L, dim, K = model.n_layers, model.dim, model.input_dim
+    D2 = 2 * dim
+    Kp = _ceil_to(K, LANE)
+    H = audio.shape[1]
+    f32 = jnp.float32
+
+    # --- per-call conditioning (tiny XLA ops) -----------------------------
+    lbl = label[0]
+    cls = jnp.stack([p[f"layer_{l}"]["class_embed"]["embedding"][lbl]
+                     for l in range(L)]).astype(f32)            # (L, D2)
+    bhcb = jnp.tile(tables["bh_sum"] + cls, (1, 2))             # (L, 2*D2)
+    brb = jnp.tile(tables["br"], (1, 2))                        # (L, D2)
+    if model.audio:
+        aud_e = (audio[0].astype(f32) @ p["embedding_aud"]["kernel"][0, 0]
+                 + p["embedding_aud"]["bias"])                  # (H, dim)
+        fv, fh = p["fusion_v"]["kernel"][0, 0], p["fusion_h"]["kernel"][0, 0]
+        audv = jnp.tile(aud_e @ fv[dim:] + p["fusion_v"]["bias"], (1, 2))
+        audh = jnp.tile(aud_e @ fh[dim:] + p["fusion_h"]["bias"], (1, 2))
+    else:
+        audv = jnp.zeros((H, D2), f32)
+        audh = jnp.zeros((H, D2), f32)
+
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.key_data(rng).reshape(-1)[-2:].astype(jnp.uint32),
+        jnp.int32)
+    if noise == "input":
+        # Gumbel noise drawn with the SAME key-splitting scheme as the
+        # lax.scan sampler (split per row, then r0/r1 per column):
+        # jax.random.categorical is gumbel-argmax, so tokens match the XLA
+        # sampler bit-for-bit.  ~10 ms of threefry per decode — test path.
+        row_keys = jax.random.split(rng, H)
+        col_keys = jax.vmap(jax.random.split)(row_keys)     # (H, 2, 2)
+        gn = jax.vmap(jax.vmap(
+            lambda k: jax.random.gumbel(k, (1, K))[0]))(col_keys)  # (H,2,K)
+        gn = gn.reshape(2 * H, K)
+        gn = jnp.pad(gn, ((0, _ceil_to(2 * H, 8) - 2 * H), (0, Kp - K)),
+                     constant_values=-1e30)
+    else:                      # "prng": in-kernel hardware gumbel-argmax
+        gn = jnp.zeros((8, Kp), jnp.float32)
+    if prefix_tokens is None:
+        tok_in = jnp.zeros((H, 2), jnp.int32)
+    else:
+        tok_in = prefix_tokens[0].astype(jnp.int32)
+
+    kernel = _make_kernel(H, L, dim, Kp, K, bool(model.audio), dtype,
+                          noise == "prng", ablate)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    tok, logits = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((_ceil_to(H, 8), LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((_ceil_to(2 * H, 8), Kp), f32)),
+        in_specs=[smem(), smem(), smem()] + [vmem()] * 17,
+        out_specs=(vmem(), vmem()),
+        scratch_shapes=[
+            pltpu.VMEM((max(L, 8), 2 * D2), f32),   # vstate (rows 1..L-1)
+            pltpu.VMEM((8, 6 * dim), f32),          # ehist  (row 0)
+            pltpu.VMEM((max(L, 8), 2 * D2), f32),   # v2h cache
+            pltpu.VMEM((8, D2), f32),               # gate assembly
+            pltpu.VMEM((8, D2), f32),               # x_h seed assembly
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray([prefix_len], jnp.int32), seed, tok_in,
+      tables["bv"], cls, bhcb, brb, audv, audh, tables["headb"], gn,
+      tables["slab0"], tables["slabsB"], tables["whb"], tables["rbd"],
+      tables["fvbd"], tables["fhbd"], tables["w1"], tables["w2"],
+      tables["emb"])
+    return tok[:H, :2][None], logits[:2 * H, :K].reshape(H, 2, K)[None]
+
+
+def sample_tokens_fused(model, variables: Any, label: jnp.ndarray,
+                        audio: jnp.ndarray, rng: jax.Array,
+                        prefix_tokens: jnp.ndarray | None = None,
+                        prefix_len: int = 0, *, tables: dict | None = None,
+                        dtype=jnp.bfloat16, interpret: bool | None = None,
+                        noise: str | None = None,
+                        return_logits: bool = False):
+    """Drop-in fused replacement for `pixelcnn.sample_tokens` (B == 1).
+
+    `tables` should come from `pack_decode_tables` (pass it in to avoid
+    re-packing per call).  `noise` selects the gumbel source:
+
+    * ``"prng"`` (production default on TPU): in-kernel hardware PRNG.
+      Same distribution as `jax.random.categorical`, different stream.
+    * ``"input"`` (default off-TPU): noise precomputed with `jax.random`
+      using the XLA sampler's exact key-splitting — tokens match
+      `pixelcnn.sample_tokens` bit-for-bit, at ~10 ms of threefry cost.
+
+    Teacher-forced rows (`prefix_len`) reproduce the given tokens exactly
+    and the emitted logits match the teacher-forced XLA forward either way.
+    """
+    if audio.shape[0] != 1:
+        raise ValueError("fused decode supports batch size 1; "
+                         "use pixelcnn.sample_tokens for batched decodes")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if noise is None:
+        noise = "input" if interpret else "prng"
+    if tables is None:
+        tables = pack_decode_tables(model, variables, dtype=dtype)
+    tok, logits = _sample_fused(model, tables, variables, label, audio, rng,
+                                prefix_tokens, int(prefix_len), dtype,
+                                bool(interpret), noise)
+    return (tok, logits) if return_logits else tok

@@ -1,0 +1,128 @@
+"""Fused Pallas AR decoder vs the XLA sampler / full forward.
+
+Runs the kernel in interpret mode (CPU) with float32 tables so the
+comparisons are tight; on TPU the production path uses bfloat16 weights and
+the in-kernel PRNG (scripts/profile_decode.py measures it).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from talkshow_tpu.models.pixelcnn import (GatedPixelCNN,
+                                          sample_tokens_reference)
+from talkshow_tpu.models.pixelcnn_pallas import (pack_decode_tables,
+                                                 sample_tokens_fused)
+
+L, DIM, K, H = 4, 256, 512, 9
+
+
+@pytest.fixture(scope="module")
+def small_prior():
+    m = GatedPixelCNN(input_dim=K, dim=DIM, n_layers=L, n_classes=4,
+                      audio=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, H, 2), jnp.int32),
+               jnp.zeros((1,), jnp.int32), jnp.zeros((1, H, 256)))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (1, H, 256))
+    return m, v, audio
+
+
+def test_teacher_forced_logits_match_full_forward(small_prior):
+    m, v, audio = small_prior
+    label = jnp.array([2], jnp.int32)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (1, H, 2), 0, K)
+    full = m.apply(v, toks, label, audio)                  # (1, H, 2, K)
+    tok_out, fused = sample_tokens_fused(
+        m, v, label, audio, jax.random.PRNGKey(3), prefix_tokens=toks,
+        prefix_len=H, dtype=jnp.float32, return_logits=True)
+    assert jnp.all(tok_out == toks), "teacher-forced tokens must round-trip"
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_free_run_matches_xla_sampler_bitwise(small_prior):
+    """noise='input' uses the XLA sampler's key-splitting scheme, so the
+    sampled trajectories agree token-for-token (categorical IS
+    gumbel-argmax)."""
+    m, v, audio = small_prior
+    label = jnp.array([1], jnp.int32)
+    t_xla = sample_tokens_reference(m, v, label, audio, jax.random.PRNGKey(5))
+    t_fused = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(5),
+                                  dtype=jnp.float32, noise="input")
+    assert jnp.all(t_xla == t_fused)
+
+
+def test_prefix_continuation(small_prior):
+    m, v, audio = small_prior
+    label = jnp.array([0], jnp.int32)
+    toks = jax.random.randint(jax.random.PRNGKey(4), (1, H, 2), 0, K)
+    out = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(6),
+                              prefix_tokens=toks, prefix_len=4,
+                              dtype=jnp.float32, noise="input")
+    assert jnp.all(out[:, :4] == toks[:, :4])
+    # the continuation matches the XLA sampler's token-for-token
+    ref = sample_tokens_reference(m, v, label, audio, jax.random.PRNGKey(6),
+                                  prefix_tokens=toks, prefix_len=4)
+    assert jnp.all(out == ref)
+
+
+def test_seed_and_label_sensitivity(small_prior):
+    m, v, audio = small_prior
+    label = jnp.array([0], jnp.int32)
+    a = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(7),
+                            dtype=jnp.float32)
+    b = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(7),
+                            dtype=jnp.float32)
+    c = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(8),
+                            dtype=jnp.float32)
+    d = sample_tokens_fused(m, v, jnp.array([3], jnp.int32), audio,
+                            jax.random.PRNGKey(7), dtype=jnp.float32)
+    assert jnp.all(a == b)
+    assert bool(jnp.any(a != c))
+    assert bool(jnp.any(a != d))
+    assert int(a.min()) >= 0 and int(a.max()) < K
+
+
+def test_no_audio_variant():
+    m = GatedPixelCNN(input_dim=256, dim=256, n_layers=3, n_classes=4,
+                      audio=False)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, H, 2), jnp.int32),
+               jnp.zeros((1,), jnp.int32))
+    audio = jnp.zeros((1, H, 256))   # only supplies H
+    label = jnp.array([1], jnp.int32)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (1, H, 2), 0, 256)
+    full = m.apply(v, toks, label)
+    _, fused = sample_tokens_fused(
+        m, v, label, audio, jax.random.PRNGKey(3), prefix_tokens=toks,
+        prefix_len=H, dtype=jnp.float32, return_logits=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tables_reuse_and_rejects_batched(small_prior):
+    m, v, audio = small_prior
+    label = jnp.array([0], jnp.int32)
+    tables = pack_decode_tables(m, v, dtype=jnp.float32)
+    a = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(9),
+                            tables=tables, dtype=jnp.float32)
+    b = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(9),
+                            dtype=jnp.float32)
+    assert jnp.all(a == b)
+    with pytest.raises(ValueError, match="batch size 1"):
+        sample_tokens_fused(m, v, jnp.zeros((2,), jnp.int32),
+                            jnp.zeros((2, H, 256)), jax.random.PRNGKey(0))
+
+
+def test_generate_conv_poses_fused_route():
+    from talkshow_tpu.models.body import create_body_models, generate_conv_poses
+    body = create_body_models(jax.random.PRNGKey(0), code_num=256,
+                              pixel_layers=3, window=24)
+    feat = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 64))
+    ids = jnp.zeros((1,), jnp.int32)
+    # the fused route runs end-to-end (interpret mode on CPU)
+    conv_f, tok_f = generate_conv_poses(body, feat, ids, jax.random.PRNGKey(2),
+                                        use_fused=True)
+    conv_x, tok_x = generate_conv_poses(body, feat, ids, jax.random.PRNGKey(2),
+                                        use_fused=False)
+    assert conv_f.shape == conv_x.shape == (1, 24, 129)
+    assert np.isfinite(np.asarray(conv_f)).all()
