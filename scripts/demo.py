@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--out_dir", default="visualise/video/demo")
     p.add_argument("--render", action="store_true",
                    help="render a video if an SMPL-X npz + renderer deps exist")
+    p.add_argument("--render_mode", default="whole_body",
+                   choices=["default", "whole_body", "face"],
+                   help="camera mode (reference demo renders whole_body, "
+                        "scripts/demo.py:247)")
     p.add_argument("--smplx_npz", default=None)
     p.add_argument("--model", default="talkshow",
                    choices=["talkshow", "ls3dcg"],
@@ -107,7 +111,8 @@ def main():
         from talkshow_tpu.render import render_motion_video
         render_motion_video(motion, args.audio_file,
                             os.path.join(args.out_dir, stem + ".mp4"),
-                            smplx_npz=args.smplx_npz)
+                            smplx_npz=args.smplx_npz,
+                            mode=args.render_mode)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,15 @@ def load_library():
         ctypes.c_int32, f32p, ctypes.c_int32, ctypes.c_float, f32p,
         ctypes.c_int64]
     lib.ts_num_threads.restype = ctypes.c_int32
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ts_rasterize.restype = ctypes.c_int32
+    lib.ts_rasterize.argtypes = [
+        f32p, ctypes.c_int64, i32p, ctypes.c_int64,     # verts, faces
+        ctypes.c_float, ctypes.c_float,                 # xmag, ymag
+        ctypes.c_float, ctypes.c_float,                 # cam_y, cam_z
+        f32p, ctypes.c_int32, ctypes.c_float,           # lights, n, ambient
+        f32p, ctypes.c_int32, ctypes.c_int32, u8p]      # color, w, h, out
     return lib
 
 
@@ -88,6 +97,32 @@ def native_mfcc(x: np.ndarray, sr: int, fps: int = 30,
     if got < 0:
         raise RuntimeError("ts_mfcc capacity error")
     return out[:got]
+
+
+def native_rasterize(verts: np.ndarray, faces: np.ndarray, xmag: float,
+                     ymag: float, cam_y: float, cam_z: float,
+                     lights: np.ndarray, ambient: float,
+                     base_color: np.ndarray, width: int,
+                     height: int) -> np.ndarray:
+    """Z-buffered lambert rasterization -> (height, width, 3) uint8 RGB."""
+    import ctypes as ct
+
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    lights = np.ascontiguousarray(lights, np.float32)
+    base_color = np.ascontiguousarray(base_color, np.float32)
+    out = np.empty((height, width, 3), np.uint8)
+    rc = lib.ts_rasterize(
+        _ptr(verts), len(verts), faces.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        len(faces), xmag, ymag, cam_y, cam_z, _ptr(lights), len(lights),
+        ambient, _ptr(base_color), width, height,
+        out.ctypes.data_as(ct.POINTER(ct.c_uint8)))
+    if rc != 0:
+        raise RuntimeError(f"ts_rasterize failed rc={rc}")
+    return out
 
 
 def get_mfcc_native(audio_fn: str, sr: int = 22000, fps: int = 30) -> np.ndarray:

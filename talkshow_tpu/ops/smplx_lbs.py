@@ -44,6 +44,7 @@ class SmplxModel(NamedTuple):
     hands_mean_r: jnp.ndarray    # (45,)
     num_betas: int
     num_expression: int
+    faces: np.ndarray | None = None   # (F, 3) int, host-side (rendering)
 
 
 def load_smplx_npz(path: str, num_betas: int = 300,
@@ -72,6 +73,7 @@ def load_smplx_npz(path: str, num_betas: int = 300,
         hands_mean_r=jnp.asarray(d["hands_meanr"], jnp.float32),
         num_betas=num_betas,
         num_expression=num_expression,
+        faces=np.asarray(d["f"], np.int32) if "f" in d else None,
     )
 
 

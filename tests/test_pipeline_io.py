@@ -83,6 +83,7 @@ def test_renderer_with_synthetic_model(tmp_path):
     npz = str(tmp_path / "model.npz")
     kintree = np.stack([np.concatenate([[0], np.arange(J - 1)]),
                         np.arange(J)])
+    faces = rng.integers(0, V, (200, 3)).astype(np.int32)
     np.savez(
         npz,
         v_template=rng.standard_normal((V, 3)).astype(np.float32) * 0.1,
@@ -93,6 +94,7 @@ def test_renderer_with_synthetic_model(tmp_path):
         weights=np.abs(rng.standard_normal((V, J)).astype(np.float32)),
         hands_meanl=np.zeros(45, np.float32),
         hands_meanr=np.zeros(45, np.float32),
+        f=faces,
     )
     import wave
     wavp = str(tmp_path / "a.wav")
@@ -103,7 +105,7 @@ def test_renderer_with_synthetic_model(tmp_path):
     from talkshow_tpu.render import render_motion_video
     motion = rng.standard_normal((2, 6, 265)).astype(np.float32) * 0.1
     out = str(tmp_path / "video.mp4")
-    render_motion_video(motion, wavp, out, smplx_npz=npz, fps=30, size=64)
+    render_motion_video(motion, wavp, out, smplx_npz=npz, fps=30)
     assert os.path.isfile(out) and os.path.getsize(out) > 0
 
 
