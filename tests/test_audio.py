@@ -106,3 +106,28 @@ def test_onset_detection_clicks():
     assert len(times) >= 4
     for t0 in (0.5, 1.5, 2.5, 3.5):
         assert np.min(np.abs(times - t0)) < 0.08
+
+
+def test_dft_matmul_matches_fft():
+    """The MXU real-DFT matmul path (used on TPU, where XLA's FFT is the
+    pipeline bottleneck) must match jnp.fft.rfft: near-exact on the power
+    spectrogram and to well under the 80 dB top_db floor resolution on the
+    final MFCC."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(22000 * 2).astype(np.float32)
+    p_fft = np.asarray(audio.power_spectrogram(jnp.asarray(x), 2048, 734,
+                                               method="fft"))
+    p_dft = np.asarray(audio.power_spectrogram(jnp.asarray(x), 2048, 734,
+                                               method="dft_matmul"))
+    assert p_fft.shape == p_dft.shape
+    scale = p_fft.max()
+    np.testing.assert_allclose(p_dft / scale, p_fft / scale, atol=2e-6)
+
+    # end-to-end MFCC difference in feature units (dB-derived)
+    def mfcc_with(method):
+        power = audio.power_spectrogram(jnp.asarray(x), 2048, 734, method)
+        mel = power @ jnp.asarray(audio.mel_filterbank(22000, 2048, 256))
+        mel_db = audio.amplitude_to_db(mel)
+        return np.asarray(mel_db @ jnp.asarray(audio.dct_matrix(64, 256)))
+
+    assert np.max(np.abs(mfcc_with("fft") - mfcc_with("dft_matmul"))) < 0.02
