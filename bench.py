@@ -7,11 +7,18 @@ Prints ONE JSON line:
 Baseline = the rebuild target from BASELINE.md: < 250 ms p50 per 10 s clip
 on one chip.  vs_baseline > 1 means faster than target.
 
-The whole pipeline (MFCC featurization + wav2vec face generator + cached
-AR PixelCNN decode + VQ decode) is ONE jitted XLA program, so a clip costs
-a single dispatch + readback.  Because the chip may be remote-attached
-(RTT-dominated single calls), we also report amortized throughput over a
-batch of pipelined dispatches — the number that matters for serving.
+Reported numbers (extra):
+  * device_ms_per_clip — the number the builder can move: K clips chained
+    in one lax.scan dispatch (K=64), so the ~30 ms axon tunnel RTT
+    contributes < 0.5 ms.  p50 single-dispatch latency is RTT-dominated
+    (~70 ms of the value is the tunnel, not the chip).
+  * stage_ms — per-stage device times, same K-chaining.
+  * mfu — XLA cost-analysis FLOPs (+ analytic FLOPs for the Pallas decode,
+    which XLA cannot see into) over device time against the v5e bf16 peak.
+    The AR decode is latency-bound, so MFU is intrinsically low; it is
+    tracked to catch compute regressions, not as a target.
+Weights are random-init and audio synthetic — compute cost identical to
+trained weights ("synthetic": true in the JSON).
 """
 from __future__ import annotations
 
@@ -22,14 +29,19 @@ import numpy as np
 
 BASELINE_P50_MS = 250.0
 CLIP_SECONDS = 10.0
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from talkshow_tpu.models.body import create_body_models, generate_conv_poses
+    from talkshow_tpu.models.body import (create_body_models,
+                                          generate_conv_poses)
     from talkshow_tpu.models.face import FaceGenerator
+    from talkshow_tpu.models.pixelcnn_pallas import (pack_decode_tables,
+                                                     sample_tokens_fused)
+    from talkshow_tpu.models.vqvae import VQVAE
     from talkshow_tpu.ops import audio as audio_ops
 
     rng = jax.random.PRNGKey(0)
@@ -74,8 +86,12 @@ def main():
         f, b = run_clip(wav_dev, key)
         return np.asarray(f), np.asarray(b)   # forced readback
 
+    import sys as _sys
+    print("[bench] compiling full pipeline...", file=_sys.stderr, flush=True)
     once(r_sample)  # warmup/compile
 
+    print("[bench] pipeline compiled; measuring latency",
+          file=_sys.stderr, flush=True)
     # ---- single-clip latency (includes one host<->device round trip)
     lat = []
     for i in range(10):
@@ -94,25 +110,104 @@ def main():
         np.asarray(f), np.asarray(b)
     amortized_ms = (time.perf_counter() - t0) * 1000.0 / N
 
-    # ---- pure device time: K clips chained inside ONE dispatch (lax.scan),
-    # so host<->device RTT is paid once
-    K = 8
+    # ---- pure device time: K iterations chained inside ONE dispatch so
+    # the tunnel RTT (~30 ms) divides by K
+    import sys
 
-    @jax.jit
-    def run_k(face_vars, body_vars, wav16, key):
-        def step(carry, k):
-            f, c = run_clip_impl.__wrapped__(face_vars, body_vars, wav16, k)
-            return carry, (f[:, -1, -1], c[:, -1, -1])
-        _, outs = jax.lax.scan(step, 0, jax.random.split(key, K))
-        return outs
+    t_start = time.perf_counter()
 
-    r = run_k(face_vars, body_vars, wav_dev, r_sample)
-    jax.tree_util.tree_map(np.asarray, r)
-    t0 = time.perf_counter()
-    r = run_k(face_vars, body_vars, wav_dev, r_sample)
-    jax.tree_util.tree_map(np.asarray, r)
-    device_ms = (time.perf_counter() - t0) * 1000.0 / K
+    def progress(msg):
+        print(f"[bench +{time.perf_counter() - t_start:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    def chain_ms(fn, *fn_args, K=64):
+        """fn(key, *fn_args); fn_args are jit ARGUMENTS.  Weights AND input
+        arrays must not be closed over: closed-over arrays become HLO
+        constants, which besides the remote-compile upload limit also run
+        ~2.7x slower inside the scan (measured: body pipeline 6.9 ms with
+        closed-over weights vs 2.5 ms with weights as args; see CLAUDE.md)."""
+        @jax.jit
+        def run_k(key, *args):
+            def step(c, k):
+                out = fn(k, *args)
+                return c, jax.tree_util.tree_map(
+                    lambda x: x.reshape(-1)[-1].astype(jnp.float32), out)
+            _, outs = jax.lax.scan(step, 0, jax.random.split(key, K))
+            return outs
+        r = run_k(r_sample, *fn_args)
+        jax.tree_util.tree_map(np.asarray, r)
+        t0 = time.perf_counter()
+        r = run_k(jax.random.fold_in(r_sample, 1), *fn_args)
+        jax.tree_util.tree_map(np.asarray, r)
+        return (time.perf_counter() - t0) * 1000.0 / K
+
+    progress("latency + amortized done; chaining device_ms (K=64)")
+    # Jitter the wav per iteration: with a loop-invariant input XLA hoists
+    # the whole audio front half out of the scan and the number stops
+    # representing per-fresh-clip serving cost (measured 2.5 ms hoisted vs
+    # 7.0 ms honest for the body pipeline before the framing fix).
+    device_ms = chain_ms(
+        lambda k, fv, bv, w: run_clip_impl.__wrapped__(
+            fv, bv, w.at[0].add(1e-9 * k[0].astype(w.dtype)), k),
+        face_vars, body_vars, wav_dev, K=64)
     motion_sec_per_sec = CLIP_SECONDS / (device_ms / 1000.0)
+    progress(f"device_ms={device_ms:.2f}")
+
+    # ---- per-stage breakdown (same chaining) ---------------------------
+    wav22 = audio_ops.resample(wav_dev, 16000, 22000)
+    feat = jax.jit(lambda w: audio_ops.mfcc(w, 22000, fps=30))(wav22)
+    audio_cond = body.audio_enc.apply(body.audio_enc_vars, feat[None])
+    tables = jax.jit(lambda v: pack_decode_tables(body.prior, v))(
+        body.prior_vars)
+    ids0 = jnp.zeros((1,), jnp.int32)
+    tok_fixed = jnp.zeros((1, audio_cond.shape[1], 2), jnp.int32)
+
+    def jitter(x, k):
+        """Negligible key-derived perturbation: keeps per-iteration inputs
+        distinct so XLA cannot hoist the stage out of the scan as
+        loop-invariant."""
+        return x.at[(0,) * x.ndim].add(1e-9 * k[0].astype(x.dtype))
+
+    stages = {
+        "mfcc": (lambda k, w: audio_ops.mfcc(jitter(w, k), 22000, fps=30),
+                 wav22),
+        "face_wav2vec": (lambda k, fv, w: face.apply(
+            fv, jitter(w, k)[None], jnp.zeros((1, 4)), frames),
+            face_vars, wav_dev),
+        "audio_encoder": (lambda k, av, f: body.audio_enc.apply(
+            av, jitter(f, k)[None]), body.audio_enc_vars, feat),
+        "ar_decode_fused": (lambda k, tb, pv, i0, ac: sample_tokens_fused(
+            body.prior, pv, i0, ac, k, tables=tb,
+            interpret=False), tables, body.prior_vars, ids0, audio_cond),
+        "vq_decode": (lambda k, vv, vs, tk: body.vq_body.apply(
+            vv, tk[..., 0].at[0, 0].set((k[0] % 64).astype(jnp.int32)), vs,
+            method=VQVAE.decode_latents),
+            body.vq_body_vars, body.vq_body_state, tok_fixed),
+    }
+    stage_ms = {}
+    for name, (fn, *fargs) in stages.items():
+        stage_ms[name] = chain_ms(fn, *fargs, K=64)
+        progress(f"stage {name}: {stage_ms[name]:.2f} ms")
+
+    # ---- MFU: XLA-visible FLOPs + analytic FLOPs of the Pallas decode ---
+    try:
+        ca = run_clip_impl.lower(face_vars, body_vars, wav_dev,
+                                 r_sample).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        xla_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        xla_flops = 0.0
+    m = body.prior
+    dim, L, K_cb = m.dim, m.n_layers, m.input_dim
+    H = audio_cond.shape[1]
+    macs_row = (2 * 6 * dim * 2 * dim + (L - 1) * 2 * 4 * dim * 2 * dim
+                + L * 2 * 2 * dim * 2 * dim          # vert + v2h
+                + 2 * L * (2 * dim * 4 * dim + 2 * dim * 2 * dim)  # horiz
+                + 3 * 2 * dim * 2 * dim              # fusions
+                + 2 * (dim * 2 * dim + 2 * dim * K_cb + K_cb * dim))  # head+emb
+    decode_flops = 2.0 * macs_row * H
+    total_flops = xla_flops + decode_flops
+    mfu = total_flops / (device_ms / 1e3) / V5E_BF16_PEAK_FLOPS
 
     print(json.dumps({
         "metric": "p50_latency_10s_clip_ms",
@@ -120,12 +215,20 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_P50_MS / p50, 3),
         "extra": {
-            "amortized_ms_per_clip": round(amortized_ms, 2),
             "device_ms_per_clip": round(device_ms, 2),
             "motion_sec_per_sec_per_chip": round(motion_sec_per_sec, 2),
+            "stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
+            "mfu": round(mfu, 5),
+            "flops_per_clip": round(total_flops / 1e9, 2),
+            "amortized_ms_per_clip": round(amortized_ms, 2),
+            "rtt_note": "p50 includes ~70 ms tunnel RTT; device_ms uses "
+                        "K=64 chaining with per-iteration input jitter "
+                        "(residual RTT < 0.5 ms; no loop-invariant "
+                        "hoisting)",
             "baseline_p50_ms": BASELINE_P50_MS,
             "latencies_ms": [round(x, 1) for x in lat],
             "backend": jax.default_backend(),
+            "synthetic": True,
         },
     }))
 
