@@ -32,6 +32,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+#: BodyModels fields holding weight/state pytrees.  These are passed as jit
+#: ARGUMENTS, never closed over: closed-over arrays become HLO constants,
+#: which hit the remote-compile upload limit and run ~2.7x slower
+#: (CLAUDE.md "TPU / axon gotchas").
+_BODY_VAR_KEYS = ("vq_body_vars", "vq_hand_vars", "vq_body_state",
+                  "vq_hand_state", "audio_enc_vars", "prior_vars")
+
+
 @dataclass
 class Pipeline:
     face_model: FaceGenerator
@@ -132,13 +140,18 @@ class Pipeline:
                                          time_steps)
         return run
 
+    @property
+    def _body_arrays(self):
+        return {k: getattr(self.body, k) for k in _BODY_VAR_KEYS}
+
     @functools.cached_property
     def _body_fn(self):
-        body = self.body  # modules are static; close over them
+        body = self.body  # module structure is static; weights are args
 
         @jax.jit
-        def run(mfcc_feat, speaker_id, rng):
-            conv, tokens = generate_conv_poses(body, mfcc_feat, speaker_id, rng)
+        def run(bvars, mfcc_feat, speaker_id, rng):
+            conv, tokens = generate_conv_poses(body._replace(**bvars),
+                                               mfcc_feat, speaker_id, rng)
             return conv, tokens
         return run
 
@@ -147,9 +160,9 @@ class Pipeline:
         body = self.body
 
         @functools.partial(jax.jit, static_argnames=("prefix_len",))
-        def run(mfcc_feat, speaker_id, rng, prefix_tokens, prefix_len):
+        def run(bvars, mfcc_feat, speaker_id, rng, prefix_tokens, prefix_len):
             conv, tokens = generate_conv_poses(
-                body, mfcc_feat, speaker_id, rng,
+                body._replace(**bvars), mfcc_feat, speaker_id, rng,
                 prefix_tokens=prefix_tokens, prefix_len=prefix_len)
             return conv, tokens
         return run
@@ -169,14 +182,15 @@ class Pipeline:
         r0, r1 = jax.random.split(rng)
 
         feat0 = jnp.asarray(feat[:gap], jnp.float32)[None].repeat(S, 0)
-        conv0, tokens0 = self._body_fn(feat0, ids, r0)
+        conv0, tokens0 = self._body_fn(self._body_arrays, feat0, ids, r0)
         h0 = tokens0.shape[1]
 
         feat_all = jnp.asarray(feat, jnp.float32)[None].repeat(S, 0)
         H = feat_all.shape[1] // 4
         prefix = jnp.zeros((S, H, 2), jnp.int32)
         prefix = prefix.at[:, :h0].set(tokens0)
-        conv_all, _ = self._body_prefix_fn(feat_all, ids, r1, prefix, h0)
+        conv_all, _ = self._body_prefix_fn(self._body_arrays, feat_all, ids,
+                                           r1, prefix, h0)
         return self._denorm_conv(np.asarray(conv_all))
 
     # ------------------------------------------------------------------
@@ -209,9 +223,49 @@ class Pipeline:
         feat = jnp.asarray(mfcc_feat, jnp.float32)[None].repeat(num_samples, 0)
         ids = jnp.full((num_samples,), speaker, jnp.int32)
         rng = jax.random.PRNGKey(seed)
-        conv, _ = self._body_fn(feat, ids, rng)
+        conv, _ = self._body_fn(self._body_arrays, feat, ids, rng)
         if pad_to_bucket:
             conv = conv[:, : (T // 4) * 4]
+        return self._denorm_conv(np.asarray(conv))
+
+    def generate_body_sharded(self, mfcc_feat: np.ndarray, speaker: int,
+                              num_samples: int, mesh, seed: int = 0,
+                              axis: str = "dp"):
+        """Diversity sampling sharded over a device mesh.
+
+        The reference demo loops the body stage per sample
+        (scripts/demo.py:195); here the sample batch is split over the
+        mesh's `axis` and each device decodes its shard independently (no
+        collectives needed — sampling is embarrassingly parallel).  With
+        one sample per TPU device the per-shard batch is 1, so each device
+        auto-selects the fused Pallas decoder: N chips produce N diverse
+        samples in the device time of one.
+        """
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        n = mesh.shape[axis]
+        if num_samples % n:
+            raise ValueError(f"num_samples={num_samples} not divisible by "
+                             f"mesh axis '{axis}' size {n}")
+        feat = jnp.asarray(mfcc_feat, jnp.float32)[None].repeat(num_samples, 0)
+        ids = jnp.full((num_samples,), speaker, jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+        body = self.body
+
+        # check_vma off: the sampler's scan carry starts from constant
+        # zeros (unvarying over dp), which trips the varying-manual-axes
+        # analysis; there are no collectives here, each shard is
+        # independent, so the check adds nothing.
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P(), P(axis), P(axis), P(axis)),
+                           out_specs=P(axis), check_vma=False)
+        def run(bvars, feat_l, ids_l, keys_l):
+            conv, _ = generate_conv_poses(body._replace(**bvars), feat_l,
+                                          ids_l, keys_l[0])
+            return conv
+
+        conv = jax.jit(run)(self._body_arrays, feat, ids, keys)
         return self._denorm_conv(np.asarray(conv))
 
     def generate(self, wav_file: str, speaker: int | str = 0,
