@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 
-def timed_steps(step, state, batch, rng=None, K: int = 4):
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def timed_steps(step, state, batch, rng=None, K: int = 16):
     if rng is None:
         s, _ = step(state, batch)
     else:
@@ -32,6 +35,17 @@ def timed_steps(step, state, batch, rng=None, K: int = 4):
             s, m = step(s, batch, jax.random.fold_in(rng, i))
     np.asarray(m[list(m)[0]])
     return (time.perf_counter() - t0) * 1000 / K
+
+
+def step_flops(step, *args):
+    """XLA cost-analysis FLOPs of one jitted training step (0 if the
+    backend does not report them)."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -57,6 +71,9 @@ def main():
     ms = timed_steps(step1, st1, batch)
     out["body_vq_step_ms"] = round(ms, 1)
     out["body_vq_windows_per_sec"] = round(B / (ms / 1000), 1)
+    fl = step_flops(step1, st1, batch)
+    if fl:
+        out["body_vq_mfu"] = round(fl / (ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
 
     # stage 2: PixelCNN prior (dim 256, 15 layers) with frozen VQs
     prior = GatedPixelCNN()
@@ -71,6 +88,9 @@ def main():
     ms = timed_steps(step2, st2, batch, rng=jax.random.PRNGKey(2))
     out["body_pixel_step_ms"] = round(ms, 1)
     out["body_pixel_windows_per_sec"] = round(B / (ms / 1000), 1)
+    fl = step_flops(step2, st2, batch, jax.random.PRNGKey(2))
+    if fl:
+        out["body_pixel_mfu"] = round(fl / (ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
 
     out["batch"] = B
     out["window"] = T

@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Diversity sampling demo: N samples x 4 speakers from one audio clip in a
-single batched program (mirror of scripts/diversity.py, minus rendering).
+single batched program (mirror of scripts/diversity.py), with optional
+grid-video rendering — 4 speakers x 3 samples lands on the reference's
+12-tile 4x3 layout (visualise/rendering.py:208-232).
 """
 import argparse
 import json
@@ -18,6 +20,11 @@ def main():
     p.add_argument("--face_ckpt", default=None)
     p.add_argument("--body_ckpt", default=None)
     p.add_argument("--vq_ckpt", default=None)
+    p.add_argument("--render", action="store_true",
+                   help="render the full 4 x num_sample grid video")
+    p.add_argument("--smplx_npz", default=None)
+    p.add_argument("--render_mode", default="whole_body",
+                   choices=["default", "whole_body", "face"])
     args = p.parse_args()
 
     import numpy as np
@@ -47,6 +54,16 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.audio_file))[0]
     np.save(os.path.join(args.out_dir, stem + "_diversity.npy"), motion)
+
+    if args.render:
+        from talkshow_tpu.render import render_motion_video
+        full = np.concatenate(
+            [pipe.generate(args.audio_file, speaker,
+                           num_samples=args.num_sample, seed=speaker)
+             for speaker in range(4)])       # (4*S, T, 265)
+        render_motion_video(full, args.audio_file,
+                            os.path.join(args.out_dir, stem + "_grid.mp4"),
+                            smplx_npz=args.smplx_npz, mode=args.render_mode)
     print(json.dumps(scores))
 
 
