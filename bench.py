@@ -157,8 +157,8 @@ def main():
     wav22 = audio_ops.resample(wav_dev, 16000, 22000)
     feat = jax.jit(lambda w: audio_ops.mfcc(w, 22000, fps=30))(wav22)
     audio_cond = body.audio_enc.apply(body.audio_enc_vars, feat[None])
-    tables = jax.jit(lambda v: pack_decode_tables(body.prior, v))(
-        body.prior_vars)
+    tables = (jax.jit(lambda v: pack_decode_tables(body.prior, v))(
+        body.prior_vars) if jax.default_backend() == "tpu" else None)
     ids0 = jnp.zeros((1,), jnp.int32)
     tok_fixed = jnp.zeros((1, audio_cond.shape[1], 2), jnp.int32)
 
@@ -176,14 +176,18 @@ def main():
             face_vars, wav_dev),
         "audio_encoder": (lambda k, av, f: body.audio_enc.apply(
             av, jitter(f, k)[None]), body.audio_enc_vars, feat),
-        "ar_decode_fused": (lambda k, tb, pv, i0, ac: sample_tokens_fused(
-            body.prior, pv, i0, ac, k, tables=tb,
-            interpret=False), tables, body.prior_vars, ids0, audio_cond),
         "vq_decode": (lambda k, vv, vs, tk: body.vq_body.apply(
             vv, tk[..., 0].at[0, 0].set((k[0] % 64).astype(jnp.int32)), vs,
             method=VQVAE.decode_latents),
             body.vq_body_vars, body.vq_body_state, tok_fixed),
     }
+    if jax.default_backend() == "tpu":
+        # Mosaic kernel: TPU only (interpret mode is not a timing proxy);
+        # on other backends the full pipeline above used the XLA sampler.
+        stages["ar_decode_fused"] = (
+            lambda k, tb, pv, i0, ac: sample_tokens_fused(
+                body.prior, pv, i0, ac, k, tables=tb, interpret=False),
+            tables, body.prior_vars, ids0, audio_cond)
     stage_ms = {}
     for name, (fn, *fargs) in stages.items():
         stage_ms[name] = chain_ms(fn, *fargs, K=64)

@@ -57,9 +57,16 @@ def main():
 
     if args.render:
         from talkshow_tpu.render import render_motion_video
+        # face is speaker-independent at demo time (zero one-hot id), so
+        # one face pass + the conv poses already computed above suffice
+        wav16, sr0 = audio_ops.load_wav(args.audio_file)
+        if sr0 != 16000:
+            import jax.numpy as jnp
+            wav16 = np.asarray(audio_ops.resample(jnp.asarray(wav16),
+                                                  sr0, 16000))
+        face_out = np.asarray(pipe.generate_face(wav16))
         full = np.concatenate(
-            [pipe.generate(args.audio_file, speaker,
-                           num_samples=args.num_sample, seed=speaker)
+            [pipe.assemble_full(face_out, motion[speaker])
              for speaker in range(4)])       # (4*S, T, 265)
         render_motion_video(full, args.audio_file,
                             os.path.join(args.out_dir, stem + "_grid.mp4"),

@@ -210,12 +210,16 @@ class ShowDataset:
                 }
             return
 
-        # samples-per-frame rounded up so padded buffers always fit
+        # samples-per-frame rounded up so padded buffers always fit; the
+        # bucket also covers the AUDIO length (real clips can carry more
+        # audio than poses_frames/30 seconds — truncating it would change
+        # every wav2vec feature vs the unbucketed program)
         spf = -(-16000 // 30)
         buckets: dict[int, list] = {}
         for clip in self.clips:
             t = clip.poses.shape[0]
-            tb = -(-t // bucket_frames) * bucket_frames
+            t_aud = -(-clip.aud_feat.shape[0] // spf)
+            tb = -(-max(t, t_aud) // bucket_frames) * bucket_frames
             buckets.setdefault(tb, []).append(clip)
         for tb in sorted(buckets):
             group = buckets[tb]

@@ -138,7 +138,6 @@ def infer_on_audio(gen: LS3DCGGenerator, gen_vars: dict, wav_file: str,
     The generator is deterministic given audio, so all samples are
     identical (the reference repeats the same output B times too).
     """
-    import functools
 
     import jax
     import numpy as np

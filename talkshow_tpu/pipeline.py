@@ -302,7 +302,17 @@ class Pipeline:
         else:
             feat = audio_ops.get_mfcc(wav_file, sr=sr_body, fps=30)  # (Tm, 64)
             conv = np.asarray(self.generate_body(feat, speaker, num_samples, seed))
-        # match body length to face length (demo.py:207-211)
+        return self.assemble_full(face_out, conv, stand)
+
+    @staticmethod
+    def assemble_full(face_out: np.ndarray, conv: np.ndarray,
+                      stand: bool = False) -> np.ndarray:
+        """Face (T, 103) + conv poses (S, Tb, 129) -> (S, T, 265) SMPL-X
+        params: length-match the body to the face (demo.py:207-211), splice
+        jaw+conv+expression, and part2full the lower body back in."""
+        face_out = np.asarray(face_out, np.float32)
+        jaw, exp = face_out[:, :3], face_out[:, 3:]
+        T = face_out.shape[0]
         S, Tb, _ = conv.shape
         if Tb < T:
             pad = np.repeat(conv[:, -1:], T - Tb, axis=1)

@@ -124,15 +124,16 @@ def render_mesh_frame(verts: np.ndarray, faces: np.ndarray,
     v[:, 1] = -v[:, 1]
     v[:, 2] = -v[:, 2]
     w, h, xmag, ymag, cam_y, cam_z = camera_for_mode(mode)
-    try:
-        from talkshow_tpu.native import native_rasterize
-        return native_rasterize(v, np.asarray(faces, np.int32), xmag, ymag,
-                                cam_y, cam_z, LIGHT_RIG, AMBIENT, BASE_COLOR,
-                                w, h)
-    except Exception:
-        return _rasterize_numpy(v, np.asarray(faces, np.int32), xmag, ymag,
-                                cam_y, cam_z, LIGHT_RIG, AMBIENT, BASE_COLOR,
-                                w, h)
+    from talkshow_tpu import native
+    if native.available():
+        # real rasterizer failures (bad face indices etc.) must surface,
+        # not silently fall back to the ~100x slower numpy path
+        return native.native_rasterize(v, np.asarray(faces, np.int32), xmag,
+                                       ymag, cam_y, cam_z, LIGHT_RIG,
+                                       AMBIENT, BASE_COLOR, w, h)
+    return _rasterize_numpy(v, np.asarray(faces, np.int32), xmag, ymag,
+                            cam_y, cam_z, LIGHT_RIG, AMBIENT, BASE_COLOR,
+                            w, h)
 
 
 def _labels(n: int, has_gt: bool):
@@ -184,7 +185,8 @@ def render_motion_video(motion: np.ndarray, audio_file: str | None,
         motion = np.concatenate([np.asarray(gt_motion, np.float32)[None],
                                  motion], axis=0)
     S, T, _ = motion.shape
-    cols, rows = GRID_LAYOUTS.get(S) or (int(np.ceil(np.sqrt(S))),) * 2
+    cols = (GRID_LAYOUTS[S] if S in GRID_LAYOUTS
+            else (int(np.ceil(np.sqrt(S))),))[0]
     rows = -(-S // cols)
     tw, th, *_ = camera_for_mode(mode)
 

@@ -91,10 +91,7 @@ def skip_nonfinite_updates(inner: optax.GradientTransformation
             lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
         # true skip: on a non-finite step the inner state (moments, counts)
         # stays exactly as it was, so the poisoned step leaves no trace
-        inner_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old)
-            if hasattr(new, "shape") else new,
-            inner_state, state["inner"])
+        inner_state = tree_select(finite, inner_state, state["inner"])
         return updates, {
             "inner": inner_state,
             "nonfinite_count": state["nonfinite_count"] + (1 - finite.astype(jnp.int32)),

@@ -198,3 +198,26 @@ def test_face_bucketed_batch_groups_same_bucket_clips():
     assert b0["gt"].shape[0] == 3 and b0["gt"].shape[1] == 8
     assert list(b0["valid_frames"]) == [5, 6, 7]
     assert batches[1]["gt"].shape[:2] == (1, 16)
+
+
+def test_face_bucketing_keeps_overlong_audio():
+    """A clip whose waveform is longer than poses_frames/30 seconds (common
+    in real data) must not be truncated by the bucketed path: the bucket is
+    sized on max(pose frames, audio frames)."""
+    from talkshow_tpu.data.dataset import synthetic_dataset
+
+    ds = synthetic_dataset(num_clips=1, frames=8)
+    clip = ds.clips[0]
+    clip.poses = clip.poses[:5]
+    clip.expression = clip.expression[:5]
+    spf = -(-16000 // 30)
+    n_aud = 12 * spf + 37          # ~12 frames of audio vs 5 pose frames
+    clip.aud_feat = np.random.default_rng(2).standard_normal(
+        (n_aud, 1)).astype(np.float32)
+
+    (batch,) = ds.face_batches(bucket_frames=8)
+    assert batch["valid_samples"][0] == n_aud          # nothing dropped
+    assert batch["gt"].shape[1] == 16                  # bucket covers audio
+    np.testing.assert_array_equal(batch["waveform"][0, :n_aud],
+                                  clip.aud_feat.reshape(-1))
+    assert (batch["waveform"][0, n_aud:] == 0).all()
