@@ -75,7 +75,7 @@ def encode_audio(models: BodyModels, mfcc_feat: jnp.ndarray) -> jnp.ndarray:
 def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
                         speaker_id: jnp.ndarray, rng: jax.Array,
                         prefix_tokens=None, prefix_len: int = 0,
-                        use_fused: bool | None = None):
+                        use_fused: bool | None = None, tables=None):
     """MFCC (B, T, 64) + speaker ids (B,) -> conv poses (B, 4*(T//4), 129).
 
     The inference mirror of smplx_body_pixel.infer_on_audio (:232-289):
@@ -84,6 +84,11 @@ def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
     use_fused: route the AR decode through the single-kernel Pallas decoder
     (models/pixelcnn_pallas.py, ~3.5x faster).  Default (None) auto-selects
     it on TPU for B == 1; the XLA lax.scan sampler handles everything else.
+
+    tables: pre-packed decode weights (pixelcnn_pallas.pack_decode_tables).
+    Packing transposes ~60 MB of prior weights (~3 ms device); serving
+    paths should pack ONCE per weight set and pass the result here rather
+    than repay it every clip.
     """
     audio = encode_audio(models, mfcc_feat)                  # (B, H, 256)
     if use_fused is None:
@@ -93,7 +98,8 @@ def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
         from talkshow_tpu.models.pixelcnn_pallas import sample_tokens_fused
         tokens = sample_tokens_fused(
             models.prior, models.prior_vars, speaker_id, audio, rng,
-            prefix_tokens=prefix_tokens, prefix_len=prefix_len)
+            prefix_tokens=prefix_tokens, prefix_len=prefix_len,
+            tables=tables)
     else:
         tokens = sample_tokens(models.prior, models.prior_vars, speaker_id,
                                audio, rng, prefix_tokens=prefix_tokens,

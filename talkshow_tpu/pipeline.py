@@ -145,13 +145,27 @@ class Pipeline:
         return {k: getattr(self.body, k) for k in _BODY_VAR_KEYS}
 
     @functools.cached_property
+    def _decode_tables(self):
+        """Packed fused-decoder weights, built ONCE per pipeline: packing
+        transposes ~60 MB of prior weights (~3 ms device) and must not be
+        re-paid inside every generation program.  None off-TPU (the fused
+        kernel is only auto-selected there)."""
+        if jax.default_backend() != "tpu" or not self.body.prior.bh_model:
+            return None
+        from talkshow_tpu.models.pixelcnn_pallas import pack_decode_tables
+        return jax.jit(
+            lambda v: pack_decode_tables(self.body.prior, v))(
+                self.body.prior_vars)
+
+    @functools.cached_property
     def _body_fn(self):
         body = self.body  # module structure is static; weights are args
 
         @jax.jit
-        def run(bvars, mfcc_feat, speaker_id, rng):
+        def run(bvars, tables, mfcc_feat, speaker_id, rng):
             conv, tokens = generate_conv_poses(body._replace(**bvars),
-                                               mfcc_feat, speaker_id, rng)
+                                               mfcc_feat, speaker_id, rng,
+                                               tables=tables)
             return conv, tokens
         return run
 
@@ -160,10 +174,12 @@ class Pipeline:
         body = self.body
 
         @functools.partial(jax.jit, static_argnames=("prefix_len",))
-        def run(bvars, mfcc_feat, speaker_id, rng, prefix_tokens, prefix_len):
+        def run(bvars, tables, mfcc_feat, speaker_id, rng, prefix_tokens,
+                prefix_len):
             conv, tokens = generate_conv_poses(
                 body._replace(**bvars), mfcc_feat, speaker_id, rng,
-                prefix_tokens=prefix_tokens, prefix_len=prefix_len)
+                prefix_tokens=prefix_tokens, prefix_len=prefix_len,
+                tables=tables)
             return conv, tokens
         return run
 
@@ -182,15 +198,17 @@ class Pipeline:
         r0, r1 = jax.random.split(rng)
 
         feat0 = jnp.asarray(feat[:gap], jnp.float32)[None].repeat(S, 0)
-        conv0, tokens0 = self._body_fn(self._body_arrays, feat0, ids, r0)
+        conv0, tokens0 = self._body_fn(self._body_arrays, self._decode_tables,
+                                       feat0, ids, r0)
         h0 = tokens0.shape[1]
 
         feat_all = jnp.asarray(feat, jnp.float32)[None].repeat(S, 0)
         H = feat_all.shape[1] // 4
         prefix = jnp.zeros((S, H, 2), jnp.int32)
         prefix = prefix.at[:, :h0].set(tokens0)
-        conv_all, _ = self._body_prefix_fn(self._body_arrays, feat_all, ids,
-                                           r1, prefix, h0)
+        conv_all, _ = self._body_prefix_fn(self._body_arrays,
+                                           self._decode_tables, feat_all,
+                                           ids, r1, prefix, h0)
         return self._denorm_conv(np.asarray(conv_all))
 
     # ------------------------------------------------------------------
@@ -223,7 +241,8 @@ class Pipeline:
         feat = jnp.asarray(mfcc_feat, jnp.float32)[None].repeat(num_samples, 0)
         ids = jnp.full((num_samples,), speaker, jnp.int32)
         rng = jax.random.PRNGKey(seed)
-        conv, _ = self._body_fn(self._body_arrays, feat, ids, rng)
+        conv, _ = self._body_fn(self._body_arrays, self._decode_tables,
+                                feat, ids, rng)
         if pad_to_bucket:
             conv = conv[:, : (T // 4) * 4]
         return self._denorm_conv(np.asarray(conv))
@@ -258,14 +277,15 @@ class Pipeline:
         # analysis; there are no collectives here, each shard is
         # independent, so the check adds nothing.
         @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(P(), P(axis), P(axis), P(axis)),
+                           in_specs=(P(), P(), P(axis), P(axis), P(axis)),
                            out_specs=P(axis), check_vma=False)
-        def run(bvars, feat_l, ids_l, keys_l):
+        def run(bvars, tables, feat_l, ids_l, keys_l):
             conv, _ = generate_conv_poses(body._replace(**bvars), feat_l,
-                                          ids_l, keys_l[0])
+                                          ids_l, keys_l[0], tables=tables)
             return conv
 
-        conv = jax.jit(run)(self._body_arrays, feat, ids, keys)
+        conv = jax.jit(run)(self._body_arrays, self._decode_tables, feat,
+                            ids, keys)
         return self._denorm_conv(np.asarray(conv))
 
     def generate(self, wav_file: str, speaker: int | str = 0,

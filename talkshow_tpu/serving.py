@@ -1,0 +1,210 @@
+"""Production serving front-end: bucketed, batched, compile-once.
+
+The reference has no serving story (scripts/demo.py is a one-shot CLI).
+This module turns the pipeline into a request server shaped for TPU
+serving economics:
+
+* **Compile-once buckets.** XLA compiles per shape; arbitrary audio
+  lengths would compile O(#lengths) programs (30+ s each over a remote
+  attach).  Requests are padded to `bucket_frames` multiples, so traffic
+  is served by O(#buckets) programs, all compiled up front by
+  `warmup()` — no compile stall on the serving path.  The face stage uses
+  the masked wav2vec path (valid_samples/valid_frames) so padded clips
+  produce the same values as unpadded ones; the body stage relies on the
+  AR decode's causality (padded tail rows cannot influence real frames —
+  same argument as `Pipeline.generate_body(pad_to_bucket=...)`).
+* **Batched flushes.** Queued requests are grouped by bucket and served
+  as one program execution per (bucket, batch) — one dispatch amortizes
+  the host<->device round trip across the whole group (the tunnel RTT,
+  ~30 ms on a remote attach, dominates single-request latency).
+* **Determinism note.** A flush samples the whole group with one PRNG
+  key; a request's tokens depend on its position in the batch (standard
+  for batched samplers).  For bitwise per-request reproducibility submit
+  alone and use a fixed seed.
+
+Usage:
+    server = MotionServer(pipe, bucket_frames=32, max_batch=8)
+    server.warmup(max_clip_seconds=12)
+    rid = server.submit(wav16k, speaker=0)
+    motions = server.flush()         # {rid: (T, 265) float32}
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from talkshow_tpu.ops import audio as audio_ops
+from talkshow_tpu.ops import pose as pose_ops
+
+#: 16 kHz samples per 30 fps frame, rounded up (buffer always fits)
+_SPF = -(-16000 // 30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class _Request:
+    rid: int
+    wav16: np.ndarray       # (N,) float32 @ 16 kHz
+    speaker: int
+    frames: int             # true output frames (N * 30 // 16000)
+    bucket: int             # padded frame count
+
+
+@dataclass
+class MotionServer:
+    """Bucketed batch server over a `Pipeline` (speech -> (T, 265))."""
+    pipe: Any
+    bucket_frames: int = 32
+    max_batch: int = 8
+    stand: bool = False
+    _queue: list = field(default_factory=list)
+    _next_id: int = 0
+    _group_fn: Any = None
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        import functools
+
+        from talkshow_tpu.models.body import generate_conv_poses
+
+        pipe = self.pipe
+        face = pipe.face_model
+        body = pipe.body          # module structure static; weights are args
+
+        @functools.partial(jax.jit,
+                           static_argnames=("time_steps", "stand"))
+        def group_fn(face_vars, bvars, tables, norm, wav, onehot, ids, vs,
+                     vf, key, time_steps, stand):
+            """The WHOLE group in one program — face, featurize, AR body
+            decode, denorm, assembly — so a flush pays exactly one
+            dispatch + readback per (bucket, batch) group."""
+            face_out = face.apply(face_vars, wav, onehot, time_steps,
+                                  valid_samples=vs, valid_frames=vf)
+            wav22 = jax.vmap(lambda w: audio_ops.resample(w, 16000, 22000))(
+                wav)
+            feat = jax.vmap(lambda w: audio_ops.mfcc(w, 22000, fps=30))(
+                wav22)
+            Tp = _round_up(max(feat.shape[1], 4), 4)
+            feat = jnp.pad(feat, ((0, 0), (0, Tp - feat.shape[1]), (0, 0)))
+            # unrolled per-request decode: each row is a B=1 call, which on
+            # TPU auto-selects the fused Pallas decoder — ~7x faster than
+            # the batched XLA sampler at this length — and gives each
+            # request its own fold_in key
+            b = body._replace(**bvars)
+            conv = jnp.concatenate(
+                [generate_conv_poses(b, feat[j:j + 1], ids[j:j + 1],
+                                     jax.random.fold_in(key, j),
+                                     tables=tables)[0]
+                 for j in range(feat.shape[0])], axis=0)
+            if norm is not None:
+                conv = conv * norm[1] + norm[0]
+            # length-match the body to the face bucket (demo.py:207-211)
+            B, Tb = conv.shape[:2]
+            if Tb < time_steps:
+                pad = jnp.repeat(conv[:, -1:], time_steps - Tb, axis=1)
+                conv = jnp.concatenate([conv, pad], axis=1)
+            else:
+                conv = conv[:, :time_steps]
+            pred = jnp.concatenate(
+                [face_out[..., :3], conv, face_out[..., 3:]], axis=-1)
+            full = pose_ops.part2full(
+                pred.reshape(B * time_steps, -1), stand)
+            return full.reshape(B, time_steps, 265)
+
+        self._group_fn = group_fn
+
+    # ------------------------------------------------------------------
+    def submit(self, wav16: np.ndarray, speaker: int = 0) -> int:
+        """Queue one request; returns its id (resolved by `flush`)."""
+        wav16 = np.asarray(wav16, np.float32).reshape(-1)
+        frames = int(len(wav16) * 30 // 16000)
+        if frames < 1:
+            raise ValueError("audio shorter than one frame")
+        bucket = _round_up(frames, self.bucket_frames)
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append(_Request(rid, wav16, speaker, frames, bucket))
+        return rid
+
+    def pending(self) -> int:
+        return len(self._queue)
+
+    # ------------------------------------------------------------------
+    def warmup(self, max_clip_seconds: float = 12.0,
+               batch_sizes=(None,)) -> int:
+        """Pre-compile the group program for every bucket up to
+        `max_clip_seconds` (and each batch size given; None = max_batch).
+        Returns the number of programs traced."""
+        n = 0
+        for bs in batch_sizes:
+            bs = bs or self.max_batch
+            frames = self.bucket_frames
+            while frames <= int(max_clip_seconds * 30):
+                self._run_group(frames, bs, requests=None)
+                n += 1
+                frames += self.bucket_frames
+        return n
+
+    # ------------------------------------------------------------------
+    def _norm_arrays(self):
+        if self.pipe.norm_stats is None:
+            return None
+        mean, std = (np.asarray(a, np.float32) for a in self.pipe.norm_stats)
+        if mean.shape[-1] != 129:
+            from talkshow_tpu.ops.pose import C_INDEX_3D
+            mean, std = mean[C_INDEX_3D], std[C_INDEX_3D]
+        return (jnp.asarray(mean), jnp.asarray(std))
+
+    def _run_group(self, bucket: int, B: int, requests, seed: int = 0):
+        """One program execution for a (bucket, batch-size) group.  With
+        requests=None runs zero-filled dummies (warmup trace)."""
+        pipe = self.pipe
+        nb = bucket * _SPF
+        wav = np.zeros((B, nb), np.float32)
+        ids1 = np.zeros((B,), np.int32)
+        onehot = np.zeros((B, pipe.num_classes), np.float32)
+        vs = np.full((B,), nb, np.int32)
+        vf = np.full((B,), bucket, np.int32)
+        if requests:
+            for j, r in enumerate(requests):
+                n = len(r.wav16)
+                wav[j, :n] = r.wav16
+                ids1[j] = r.speaker
+                vs[j], vf[j] = n, r.frames
+                # demo face path uses a zero one-hot id (smplx_face.py:205)
+
+        full = self._group_fn(pipe.face_vars, pipe._body_arrays,
+                              pipe._decode_tables, self._norm_arrays(),
+                              jnp.asarray(wav), jnp.asarray(onehot),
+                              jnp.asarray(ids1), jnp.asarray(vs),
+                              jnp.asarray(vf), jax.random.PRNGKey(seed),
+                              bucket, self.stand)
+        return np.asarray(full)
+
+    # ------------------------------------------------------------------
+    def flush(self, seed: int = 0) -> dict[int, np.ndarray]:
+        """Serve every queued request; returns {rid: (T, 265)}."""
+        groups: dict[int, list] = {}
+        for r in self._queue:
+            groups.setdefault(r.bucket, []).append(r)
+        self._queue = []
+
+        out: dict[int, np.ndarray] = {}
+        for bucket in sorted(groups):
+            reqs = groups[bucket]
+            for i in range(0, len(reqs), self.max_batch):
+                chunk = reqs[i:i + self.max_batch]
+                # partial groups run at max_batch with zero-filled rows so
+                # traffic never compiles a new batch shape (compile-once)
+                full = self._run_group(bucket, self.max_batch, chunk,
+                                       seed=seed + i)
+                for j, r in enumerate(chunk):
+                    out[r.rid] = full[j, :r.frames]
+        return out
