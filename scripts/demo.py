@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--stand", action="store_true")
     p.add_argument("--continuity", action="store_true",
                    help="chunked AR continuation for long audio")
+    p.add_argument("--streaming", action="store_true",
+                   help="sliding-window streaming generation (O(1)/chunk; "
+                        "see talkshow_tpu/streaming.py)")
     p.add_argument("--face_ckpt", default=None, help="reference face .pth")
     p.add_argument("--body_ckpt", default=None, help="reference body-pixel .pth")
     p.add_argument("--vq_ckpt", default=None, help="reference body-vq .pth")
@@ -96,10 +99,32 @@ def main():
         if args.norm_stats:
             pipe = pipe.with_norm_stats(args.norm_stats)
 
-        motion = pipe.generate(args.audio_file, speaker=args.id,
-                               num_samples=args.num_sample,
-                               only_face=args.only_face, stand=args.stand,
-                               continuity=args.continuity, seed=args.seed)
+        if args.streaming:
+            from talkshow_tpu.ops.audio import load_wav
+            from talkshow_tpu.streaming import StreamingSession
+            sess = StreamingSession(pipe, speaker=args.id, stand=args.stand,
+                                    seed=args.seed)
+            wav, sr = load_wav(args.audio_file)
+            if sr != 16000:
+                import jax.numpy as jnp
+                from talkshow_tpu.ops.audio import resample
+                wav = np.asarray(resample(jnp.asarray(wav), sr, 16000))
+            blocks = []
+            for i in range(0, len(wav), 16000):   # 1 s feeds
+                out = sess.feed(wav[i:i + 16000])
+                if out is not None:
+                    blocks.append(out)
+            tail = sess.finish()
+            if tail is not None:
+                blocks.append(tail)
+            motion = np.concatenate(blocks)[None]
+        else:
+            motion = pipe.generate(args.audio_file, speaker=args.id,
+                                   num_samples=args.num_sample,
+                                   only_face=args.only_face,
+                                   stand=args.stand,
+                                   continuity=args.continuity,
+                                   seed=args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.audio_file))[0]
     out = os.path.join(args.out_dir, stem + ".npy")

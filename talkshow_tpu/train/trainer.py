@@ -31,6 +31,18 @@ from talkshow_tpu.data.dataset import ShowDataset
 log = logging.getLogger("talkshow_tpu")
 
 
+def _device_memory_gb():
+    """Bytes in use on device 0, in GB — HBM observability per epoch.
+    None when the backend doesn't report memory stats (CPU)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            return round(stats["bytes_in_use"] / 2**30, 3)
+    except Exception:
+        pass
+    return None
+
+
 def save_checkpoint(path: str, state: Any) -> None:
     """Save a train-state pytree with orbax (or npz fallback)."""
     path = os.path.abspath(path)
@@ -163,6 +175,9 @@ class Trainer:
             self.epoch = epoch + 1
             avg = {k: v / max(count, 1) for k, v in running.items()}
             avg["epoch_seconds"] = time.time() - t0
+            hbm = _device_memory_gb()
+            if hbm is not None:
+                avg["hbm_in_use_gb"] = hbm
             self.history.append({"epoch": epoch, **avg})
             if (epoch + 1) % save_every == 0 or epoch + 1 == epochs:
                 self.save(os.path.join(self.run_dir, f"ckpt-{epoch}"))
