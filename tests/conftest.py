@@ -21,6 +21,13 @@ except Exception:
     pass
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite is compile-dominated (~40 min
+# cold); cached re-runs skip most of it.  Scoped to the repo so it ships
+# nowhere and `git clean` removes it.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
