@@ -100,6 +100,11 @@ def main():
             pipe = pipe.with_norm_stats(args.norm_stats)
 
         if args.streaming:
+            if args.only_face or args.continuity or args.num_sample != 1:
+                raise SystemExit(
+                    "--streaming generates one full-body stream; it is "
+                    "incompatible with --only_face/--continuity/"
+                    "--num_sample>1")
             from talkshow_tpu.ops.audio import load_wav
             from talkshow_tpu.streaming import StreamingSession
             sess = StreamingSession(pipe, speaker=args.id, stand=args.stand,

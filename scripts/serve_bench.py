@@ -38,7 +38,7 @@ def main():
     server = MotionServer(pipe, bucket_frames=args.bucket_frames,
                           max_batch=args.max_batch)
     t0 = time.perf_counter()
-    n_prog = server.warmup(max_clip_seconds=args.clip_seconds + 0.7)
+    n_prog = server.warmup(max_clip_seconds=args.clip_seconds)
     warmup_s = time.perf_counter() - t0
 
     def wav(seed):

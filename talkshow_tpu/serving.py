@@ -30,6 +30,7 @@ Usage:
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -66,12 +67,11 @@ class MotionServer:
     stand: bool = False
     _queue: list = field(default_factory=list)
     _next_id: int = 0
+    _flush_count: int = 0
     _group_fn: Any = None
 
     # ------------------------------------------------------------------
     def __post_init__(self):
-        import functools
-
         from talkshow_tpu.models.body import generate_conv_poses
 
         pipe = self.pipe
@@ -137,36 +137,40 @@ class MotionServer:
         return len(self._queue)
 
     # ------------------------------------------------------------------
-    def warmup(self, max_clip_seconds: float = 12.0,
-               batch_sizes=(None,)) -> int:
-        """Pre-compile the group program for every bucket up to
-        `max_clip_seconds` (and each batch size given; None = max_batch).
-        Returns the number of programs traced."""
+    def warmup(self, max_clip_seconds: float = 12.0) -> int:
+        """Pre-compile the group program for every bucket a clip of up to
+        `max_clip_seconds` can land in (a clip near the limit rounds UP to
+        the next bucket).  Returns the number of programs traced."""
+        top = _round_up(int(max_clip_seconds * 30) + 1, self.bucket_frames)
         n = 0
-        for bs in batch_sizes:
-            bs = bs or self.max_batch
-            frames = self.bucket_frames
-            while frames <= int(max_clip_seconds * 30):
-                self._run_group(frames, bs, requests=None)
-                n += 1
-                frames += self.bucket_frames
+        frames = self.bucket_frames
+        while frames <= top:
+            self._run_group(frames, self.max_batch, requests=None)
+            n += 1
+            frames += self.bucket_frames
         return n
 
     # ------------------------------------------------------------------
+    @functools.cached_property
     def _norm_arrays(self):
+        """(mean, std) over the 129 conv channels, sliced exactly like
+        Pipeline._denorm_conv (incl. the 6D-rep case), or None."""
         if self.pipe.norm_stats is None:
             return None
         mean, std = (np.asarray(a, np.float32) for a in self.pipe.norm_stats)
-        if mean.shape[-1] != 129:
-            from talkshow_tpu.ops.pose import C_INDEX_3D
-            mean, std = mean[C_INDEX_3D], std[C_INDEX_3D]
+        if mean.shape[-1] not in (129, 258):
+            from talkshow_tpu.ops.pose import C_INDEX_3D, C_INDEX_6D
+            idx = C_INDEX_6D if mean.shape[-1] == 330 else C_INDEX_3D
+            mean, std = mean[idx], std[idx]
         return (jnp.asarray(mean), jnp.asarray(std))
 
-    def _run_group(self, bucket: int, B: int, requests, seed: int = 0):
+    def _run_group(self, bucket: int, B: int, requests, key=None):
         """One program execution for a (bucket, batch-size) group.  With
         requests=None runs zero-filled dummies (warmup trace)."""
         pipe = self.pipe
-        nb = bucket * _SPF
+        # +1 frame of slack: a wav whose floor(len*30/16000) == bucket can
+        # still hold up to ~_SPF more samples than bucket*_SPF
+        nb = (bucket + 1) * _SPF
         wav = np.zeros((B, nb), np.float32)
         ids1 = np.zeros((B,), np.int32)
         onehot = np.zeros((B, pipe.num_classes), np.float32)
@@ -180,31 +184,48 @@ class MotionServer:
                 vs[j], vf[j] = n, r.frames
                 # demo face path uses a zero one-hot id (smplx_face.py:205)
 
+        if key is None:
+            key = jax.random.PRNGKey(0)
         full = self._group_fn(pipe.face_vars, pipe._body_arrays,
-                              pipe._decode_tables, self._norm_arrays(),
+                              pipe._decode_tables, self._norm_arrays,
                               jnp.asarray(wav), jnp.asarray(onehot),
                               jnp.asarray(ids1), jnp.asarray(vs),
-                              jnp.asarray(vf), jax.random.PRNGKey(seed),
-                              bucket, self.stand)
+                              jnp.asarray(vf), key, bucket, self.stand)
         return np.asarray(full)
 
     # ------------------------------------------------------------------
-    def flush(self, seed: int = 0) -> dict[int, np.ndarray]:
-        """Serve every queued request; returns {rid: (T, 265)}."""
+    def flush(self, seed: int | None = None) -> dict[int, np.ndarray]:
+        """Serve every queued request; returns {rid: (T, 265)}.
+
+        seed=None (default) mixes an internal flush counter into the PRNG
+        so repeated flushes sample fresh noise; pass a seed for
+        reproducible sampling (same seed + same queue -> same motion).
+        Served requests leave the queue per group, so a failure mid-flush
+        keeps the unserved remainder queued for retry.
+        """
         groups: dict[int, list] = {}
         for r in self._queue:
             groups.setdefault(r.bucket, []).append(r)
-        self._queue = []
 
+        base = jax.random.PRNGKey(self._flush_count if seed is None
+                                  else seed)
+        self._flush_count += 1
         out: dict[int, np.ndarray] = {}
         for bucket in sorted(groups):
             reqs = groups[bucket]
             for i in range(0, len(reqs), self.max_batch):
                 chunk = reqs[i:i + self.max_batch]
                 # partial groups run at max_batch with zero-filled rows so
-                # traffic never compiles a new batch shape (compile-once)
+                # traffic never compiles a new batch shape (compile-once);
+                # key is distinct per (bucket, group) to avoid cross-group
+                # noise reuse
+                key = jax.random.fold_in(jax.random.fold_in(base, bucket), i)
                 full = self._run_group(bucket, self.max_batch, chunk,
-                                       seed=seed + i)
+                                       key=key)
+                served = set()
                 for j, r in enumerate(chunk):
                     out[r.rid] = full[j, :r.frames]
+                    served.add(r.rid)
+                self._queue = [q for q in self._queue
+                               if q.rid not in served]
         return out

@@ -63,8 +63,12 @@ class StreamingSession:
     context_rows: int = 16     # teacher-forced history rows
     stand: bool = False
     seed: int = 0
+    #: tail of the audio stream: absolute sample index of _wav[0] is
+    #: _wav_start; older samples are dropped (bounded memory — a session
+    #: can run indefinitely)
     _wav: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
-    _tokens: np.ndarray | None = None      # (rows_so_far, 2) history
+    _wav_start: int = 0
+    _tokens: np.ndarray | None = None      # last <= context_rows rows
     _rows_done: int = 0
     _emitted_frames: int = 0
     _step_fn: Any = None
@@ -106,19 +110,19 @@ class StreamingSession:
         wav16 = np.asarray(wav16, np.float32).reshape(-1)
         self._wav = np.concatenate([self._wav, wav16])
         out = []
-        while len(self._wav) >= _samples_for(self._emitted_frames
-                                             + self._chunk_frames):
+        while self._wav_start + len(self._wav) >= _samples_for(
+                self._emitted_frames + self._chunk_frames):
             out.append(self._step())
         return np.concatenate(out) if out else None
 
     def finish(self):
         """Zero-pad the tail to a full chunk and emit it (or None if no
         un-emitted frames remain)."""
-        rem_frames = len(self._wav) * _FPS // _SR - self._emitted_frames
+        total = self._wav_start + len(self._wav)
+        rem_frames = total * _FPS // _SR - self._emitted_frames
         if rem_frames <= 0:
             return None
-        pad = _samples_for(self._emitted_frames + self._chunk_frames) \
-            - len(self._wav)
+        pad = _samples_for(self._emitted_frames + self._chunk_frames) - total
         if pad > 0:
             self._wav = np.concatenate(
                 [self._wav, np.zeros(pad, np.float32)])
@@ -139,7 +143,7 @@ class StreamingSession:
         n_win = _samples_for(frames)
         wav_win = np.zeros(n_win, np.float32)
         lo = max(0, end - n_win)
-        seg = self._wav[lo:end]
+        seg = self._wav[max(0, lo - self._wav_start):end - self._wav_start]
         wav_win[n_win - len(seg):] = seg
 
         prefix = (np.zeros((0, 2), np.int32) if prefix_rows == 0
@@ -156,9 +160,17 @@ class StreamingSession:
         conv = pipe._denorm_conv(conv)
 
         new_tok = tokens[prefix_rows:]
-        self._tokens = (new_tok if self._tokens is None
-                        else np.concatenate([self._tokens, new_tok]))
+        hist = (new_tok if self._tokens is None
+                else np.concatenate([self._tokens, new_tok]))
+        self._tokens = hist[-self.context_rows:]   # bounded history
         self._rows_done += self.chunk_rows
+
+        # drop audio the next window can no longer reach (bounded memory)
+        steady_win = _samples_for((self.context_rows + self.chunk_rows) * 4)
+        keep_from = max(0, end - steady_win)
+        if keep_from > self._wav_start:
+            self._wav = self._wav[keep_from - self._wav_start:]
+            self._wav_start = keep_from
 
         # emit only the NEW frames (tail of the window)
         f_new = f[-self._chunk_frames:]

@@ -48,18 +48,74 @@ def test_serve_routes_and_crops(pipe):
 
 
 def test_compile_once_across_traffic(pipe):
-    """After warmup, serving any mix of lengths within the warmed buckets
-    must not trace a single new program."""
+    """After warmup, serving any mix of lengths up to max_clip_seconds must
+    not trace a single new program — including clips near the limit that
+    round UP to the next bucket."""
     server = MotionServer(pipe, bucket_frames=16, max_batch=2)
-    n = server.warmup(max_clip_seconds=1.1)          # buckets 16 + 32
-    assert n == 2                                    # one program per bucket
+    n = server.warmup(max_clip_seconds=1.1)          # buckets 16, 32, 48
+    assert n == 3
 
     size = server._group_fn._cache_size()
-    for i, sec in enumerate([0.3, 0.5, 0.52, 0.8, 1.0]):
+    for i, sec in enumerate([0.3, 0.5, 0.52, 0.8, 1.0, 1.09]):
         server.submit(_wav(sec, 10 + i), speaker=i % 4)
     out = server.flush()
-    assert len(out) == 5
+    assert len(out) == 6
     assert server._group_fn._cache_size() == size
+
+
+def test_bucket_boundary_audio_fits(pipe):
+    """A wav whose sample count exceeds bucket*ceil(16000/30) while its
+    frame count still equals the bucket must be served without truncation
+    (regression: the row buffer was sized one frame short)."""
+    server = MotionServer(pipe, bucket_frames=32, max_batch=2)
+    wav = _wav(17089 / 16000, 7)            # frames=32 == bucket, len>32*534
+    assert len(wav) == 17089
+    rid = server.submit(wav, speaker=0)
+    out = server.flush()
+    assert out[rid].shape == (32, 265)
+    assert np.all(np.isfinite(out[rid]))
+
+
+def test_flush_failure_keeps_unserved_requests(pipe, monkeypatch):
+    """A crash while serving one group must not drop the other groups'
+    queued requests."""
+    server = MotionServer(pipe, bucket_frames=16, max_batch=2)
+    r0 = server.submit(_wav(0.4, 0))                 # bucket 16
+    r1 = server.submit(_wav(0.9, 1))                 # bucket 32
+
+    real = server._run_group
+
+    def boom(bucket, B, requests, key=None):
+        if bucket == 32:
+            raise RuntimeError("injected")
+        return real(bucket, B, requests, key=key)
+
+    monkeypatch.setattr(server, "_run_group", boom)
+    with pytest.raises(RuntimeError):
+        server.flush()
+    # bucket-16 request served and dequeued; bucket-32 request retained
+    assert [r.rid for r in server._queue] == [r1]
+    monkeypatch.setattr(server, "_run_group", real)
+    out = server.flush()
+    assert set(out) == {r1}
+
+
+def test_flush_noise_is_fresh_across_flushes(pipe):
+    """Default flushes must not reuse PRNG noise: the same wav submitted
+    in two consecutive flushes should (generically) differ, while an
+    explicit seed reproduces."""
+    server = MotionServer(pipe, bucket_frames=16, max_batch=2)
+    wav = _wav(0.5, 9)
+    r = server.submit(wav)
+    m1 = server.flush()[r]
+    r = server.submit(wav)
+    m2 = server.flush()[r]
+    assert not np.array_equal(m1, m2)
+    r = server.submit(wav)
+    s1 = server.flush(seed=5)[r]
+    r = server.submit(wav)
+    s2 = server.flush(seed=5)[r]
+    np.testing.assert_array_equal(s1, s2)
 
 
 def test_masked_face_equals_unpadded(pipe):

@@ -45,8 +45,12 @@ def test_streaming_blocks_and_tail(pipe):
     motion = np.concatenate(blocks)
     assert motion.shape == (90, 265)
     assert np.all(np.isfinite(motion))
-    # token history covers every emitted row
-    assert sess._tokens.shape == (sess._rows_done, 2)
+    # bounded state: token history and audio buffer stay window-sized
+    assert sess._tokens.shape == (min(sess._rows_done,
+                                      sess.context_rows), 2)
+    from talkshow_tpu.streaming import _samples_for
+    assert len(sess._wav) <= _samples_for(
+        (sess.context_rows + sess.chunk_rows) * 4) + 16000
 
 
 def test_streaming_bounded_compiles(pipe):
