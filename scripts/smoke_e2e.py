@@ -17,8 +17,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     import numpy as np
-    import jax
-    import jax.numpy as jnp
 
     from talkshow_tpu.config import body_vq_config
     from talkshow_tpu.data.dataset import synthetic_dataset

@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from talkshow_tpu.ops.rotation import axis_angle_to_matrix

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from talkshow_tpu.models.body import generate_conv_poses
 from talkshow_tpu.ops import audio as audio_ops
-from talkshow_tpu.ops import pose as pose_ops
+
 
 #: 16 kHz samples per 30 fps output frame (exact: 16000/30 not integral;
 #: chunks are counted in frames and sliced from a sample ring buffer)
