@@ -60,11 +60,19 @@ class _Request:
 
 @dataclass
 class MotionServer:
-    """Bucketed batch server over a `Pipeline` (speech -> (T, 265))."""
+    """Bucketed batch server over a `Pipeline` (speech -> (T, 265)).
+
+    mesh: optional `jax.sharding.Mesh` — each group's batch is sharded
+    over `mesh_axis` (requests are independent; no collectives), so N
+    chips serve a group in the device time of max_batch/N requests.
+    `max_batch` must be a multiple of the axis size.
+    """
     pipe: Any
     bucket_frames: int = 32
     max_batch: int = 8
     stand: bool = False
+    mesh: Any = None
+    mesh_axis: str = "dp"
     _queue: list = field(default_factory=list)
     _next_id: int = 0
     _flush_count: int = 0
@@ -77,11 +85,14 @@ class MotionServer:
         pipe = self.pipe
         face = pipe.face_model
         body = pipe.body          # module structure static; weights are args
+        if self.mesh is not None and self.max_batch % \
+                self.mesh.shape[self.mesh_axis]:
+            raise ValueError(
+                f"max_batch={self.max_batch} not divisible by mesh axis "
+                f"'{self.mesh_axis}' size {self.mesh.shape[self.mesh_axis]}")
 
-        @functools.partial(jax.jit,
-                           static_argnames=("time_steps", "stand"))
-        def group_fn(face_vars, bvars, tables, norm, wav, onehot, ids, vs,
-                     vf, key, time_steps, stand):
+        def core(face_vars, bvars, tables, norm, wav, onehot, ids, vs, vf,
+                 keys, *, time_steps, stand):
             """The WHOLE group in one program — face, featurize, AR body
             decode, denorm, assembly — so a flush pays exactly one
             dispatch + readback per (bucket, batch) group."""
@@ -95,13 +106,12 @@ class MotionServer:
             feat = jnp.pad(feat, ((0, 0), (0, Tp - feat.shape[1]), (0, 0)))
             # unrolled per-request decode: each row is a B=1 call, which on
             # TPU auto-selects the fused Pallas decoder — ~7x faster than
-            # the batched XLA sampler at this length — and gives each
-            # request its own fold_in key
+            # the batched XLA sampler at this length — with an explicit
+            # per-request key
             b = body._replace(**bvars)
             conv = jnp.concatenate(
                 [generate_conv_poses(b, feat[j:j + 1], ids[j:j + 1],
-                                     jax.random.fold_in(key, j),
-                                     tables=tables)[0]
+                                     keys[j], tables=tables)[0]
                  for j in range(feat.shape[0])], axis=0)
             if norm is not None:
                 conv = conv * norm[1] + norm[0]
@@ -117,6 +127,27 @@ class MotionServer:
             full = pose_ops.part2full(
                 pred.reshape(B * time_steps, -1), stand)
             return full.reshape(B, time_steps, 265)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("time_steps", "stand"))
+        def group_fn(face_vars, bvars, tables, norm, wav, onehot, ids, vs,
+                     vf, keys, time_steps, stand):
+            bound = functools.partial(core, time_steps=time_steps,
+                                      stand=stand)
+            if self.mesh is None:
+                return bound(face_vars, bvars, tables, norm, wav, onehot,
+                             ids, vs, vf, keys)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.mesh_axis
+            return shard_map(
+                bound, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(), P(ax), P(ax), P(ax), P(ax),
+                          P(ax), P(ax)),
+                out_specs=P(ax), check_vma=False)(
+                    face_vars, bvars, tables, norm, wav, onehot, ids, vs,
+                    vf, keys)
 
         self._group_fn = group_fn
 
@@ -186,11 +217,12 @@ class MotionServer:
 
         if key is None:
             key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, B)          # one key per request row
         full = self._group_fn(pipe.face_vars, pipe._body_arrays,
                               pipe._decode_tables, self._norm_arrays,
                               jnp.asarray(wav), jnp.asarray(onehot),
                               jnp.asarray(ids1), jnp.asarray(vs),
-                              jnp.asarray(vf), key, bucket, self.stand)
+                              jnp.asarray(vf), keys, bucket, self.stand)
         return np.asarray(full)
 
     # ------------------------------------------------------------------

@@ -130,3 +130,23 @@ def test_masked_face_equals_unpadded(pipe):
     # jaw channels 0:3 and expression channels -100: of the 265-D output
     np.testing.assert_allclose(out[:, :3], ref_face[:, :3], atol=2e-5)
     np.testing.assert_allclose(out[:, -100:], ref_face[:, 3:], atol=2e-5)
+
+
+def test_mesh_sharded_server_matches_single_device(pipe):
+    """A mesh-backed server shards each group's batch over the dp axis;
+    per-request keys make its output match the unsharded server."""
+    from talkshow_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=4, tp=2)
+    plain = MotionServer(pipe, bucket_frames=16, max_batch=4)
+    sharded = MotionServer(pipe, bucket_frames=16, max_batch=4, mesh=mesh)
+    wavs = [_wav(0.4, 20 + i) for i in range(4)]
+    r_p = [plain.submit(w, speaker=i % 4) for i, w in enumerate(wavs)]
+    r_s = [sharded.submit(w, speaker=i % 4) for i, w in enumerate(wavs)]
+    out_p = plain.flush(seed=11)
+    out_s = sharded.flush(seed=11)
+    for a, b in zip(r_p, r_s):
+        np.testing.assert_allclose(out_p[a], out_s[b], atol=2e-4)
+
+    with pytest.raises(ValueError):
+        MotionServer(pipe, max_batch=3, mesh=mesh)
