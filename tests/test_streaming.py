@@ -77,3 +77,25 @@ def test_streaming_prefix_carries_tokens(pipe):
                              seed=6)
     sess3.feed(_wav(2.0, 2))
     assert not np.array_equal(sess._tokens, sess3._tokens)
+
+
+def test_streaming_long_session_bounded_state(pipe):
+    """50 chunks through one session: state stays window-sized, block
+    accounting stays exact, every block is finite."""
+    from talkshow_tpu.streaming import _samples_for
+
+    sess = StreamingSession(pipe, speaker=0, chunk_rows=2, context_rows=4)
+    total_frames = 0
+    rng = np.random.default_rng(4)
+    for i in range(50):
+        out = sess.feed((rng.standard_normal(4266) * 0.1).astype(np.float32))
+        if out is not None:
+            assert out.shape[1] == 265 and np.all(np.isfinite(out))
+            total_frames += out.shape[0]
+    cap = _samples_for((sess.context_rows + sess.chunk_rows) * 4) + 4266
+    assert len(sess._wav) <= cap
+    assert sess._tokens.shape[0] <= sess.context_rows
+    assert total_frames == sess._emitted_frames
+    # no program beyond the bounded set compiled over the long run
+    assert sess._step_fn._cache_size() <= sess.context_rows \
+        // sess.chunk_rows + 1
