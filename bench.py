@@ -48,7 +48,11 @@ def main():
     r_face, r_body, r_sample = jax.random.split(rng, 3)
 
     # ---- build models (random weights; compute cost identical to trained)
-    face = FaceGenerator()
+    # bf16 compute for the wav2vec/face stage on TPU (the production
+    # default — Pipeline.create(face_dtype="auto")); params stay f32
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+    face_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    face = FaceGenerator(wav2vec_cfg=Wav2Vec2Config(dtype=face_dtype))
     n_samples_wav = int(16000 * CLIP_SECONDS)
     frames = int(n_samples_wav * 30 // 16000)          # 300
     face_vars = face.init(r_face, jnp.zeros((1, 1600)), jnp.zeros((1, 4)), 3)

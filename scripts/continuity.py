@@ -18,6 +18,8 @@ def main():
     p.add_argument("--face_ckpt", default=None)
     p.add_argument("--body_ckpt", default=None)
     p.add_argument("--vq_ckpt", default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random models (CI smoke; no checkpoints)")
     args = p.parse_args()
 
     import numpy as np
@@ -27,6 +29,16 @@ def main():
         pipe = Pipeline.from_torch_checkpoints(
             face_ckpt=args.face_ckpt, body_ckpt=args.body_ckpt,
             vq_ckpt=args.vq_ckpt)
+    elif args.tiny:
+        print("NOTE: tiny random weights (smoke mode)")
+        from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+        cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4,
+                             intermediate_size=64, conv_dim=(16, 16),
+                             conv_kernel=(10, 3), conv_stride=(5, 2),
+                             num_conv_pos_embeddings=16,
+                             num_conv_pos_embedding_groups=4)
+        pipe = Pipeline.create(0, wav2vec_cfg=cfg, num_hiddens=64,
+                               pixel_dim=16, pixel_layers=3, code_num=64)
     else:
         print("NOTE: random weights")
         pipe = Pipeline.create(0)

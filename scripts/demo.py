@@ -52,6 +52,10 @@ def parse_args():
                    help="norm_stats.npy for models trained with "
                         "Data.pose.normalization (demo.py:107-111)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--face_f32", action="store_true",
+                   help="force f32 face/wav2vec compute (on TPU the face "
+                        "stage defaults to bf16 matmuls; use this for "
+                        "bit-parity runs)")
     return p.parse_args()
 
 
@@ -98,6 +102,8 @@ def main():
             pipe = Pipeline.create(args.seed)
         if args.norm_stats:
             pipe = pipe.with_norm_stats(args.norm_stats)
+        if args.face_f32:
+            pipe = pipe.with_face_dtype(None)
 
         if args.streaming:
             if args.only_face or args.continuity or args.num_sample != 1:

@@ -72,8 +72,10 @@ class FaceGenerator(nn.Module):
     exp_dim: int = 100
 
     def setup(self):
+        # wav2vec_cfg.dtype (e.g. bf16 for TPU inference) also drives the
+        # 768->256 feature map; the small conv middle/heads stay f32
         self.audio_encoder = Wav2Vec2Encoder(self.wav2vec_cfg)
-        self.audio_feature_map = nn.Dense(256)
+        self.audio_feature_map = nn.Dense(256, dtype=self.wav2vec_cfg.dtype)
         self.audio_middle = FaceAudioMiddle(256, self.num_classes, self.identity)
         self.heads = FaceDecoderHeads(self.jaw_dim, self.exp_dim)
 

@@ -40,6 +40,11 @@ class Wav2Vec2Config:
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
     layer_norm_eps: float = 1e-5
+    #: compute dtype for the conv/matmul-heavy ops (None = float32).
+    #: Set jnp.bfloat16 for TPU inference: params stay f32, flax casts at
+    #: each op; LayerNorm/GroupNorm statistics and attention softmax are
+    #: kept in f32 regardless (force_fp32_for_softmax).
+    dtype: type | None = None
 
 
 class ChannelGroupNorm(nn.Module):
@@ -57,6 +62,9 @@ class ChannelGroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        x = x.astype(jnp.float32)   # stats in f32 under bf16 compute
+        if mask is not None:
+            mask = mask.astype(jnp.float32)
         if mask is None:
             mean = jnp.mean(x, axis=1, keepdims=True)
             var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
@@ -94,7 +102,7 @@ class FeatureExtractor(nn.Module):
         for i, (dim, k, s) in enumerate(
                 zip(self.cfg.conv_dim, self.cfg.conv_kernel, self.cfg.conv_stride)):
             h = nn.Conv(dim, (k,), (s,), padding="VALID", use_bias=False,
-                        name=f"conv_{i}")(h)
+                        dtype=self.cfg.dtype, name=f"conv_{i}")(h)
             if n_valid is not None:
                 n_valid = (n_valid - k) // s + 1
             if i == 0:
@@ -114,7 +122,8 @@ class FeatureProjection(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="layer_norm")(x)
-        return nn.Dense(self.cfg.hidden_size, name="projection")(x)
+        return nn.Dense(self.cfg.hidden_size, dtype=self.cfg.dtype,
+                        name="projection")(x)
 
 
 class PositionalConvEmbedding(nn.Module):
@@ -126,7 +135,7 @@ class PositionalConvEmbedding(nn.Module):
         pad = k // 2
         h = nn.Conv(self.cfg.hidden_size, (k,), padding=[(pad, pad)],
                     feature_group_count=self.cfg.num_conv_pos_embedding_groups,
-                    name="conv")(x)
+                    dtype=self.cfg.dtype, name="conv")(x)
         if k % 2 == 0:
             h = h[:, :-1]  # SamePad crop for even kernels
         return nn.gelu(h, approximate=False)
@@ -143,12 +152,16 @@ class EncoderLayer(nn.Module):
             qkv_features=self.cfg.hidden_size,
             out_features=self.cfg.hidden_size,
             use_bias=True,
+            dtype=self.cfg.dtype,
+            force_fp32_for_softmax=True,
             name="attention",
         )(x, x, mask=attn_mask)
         x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="layer_norm")(x + attn_out)
-        h = nn.Dense(self.cfg.intermediate_size, name="ffn_intermediate")(x)
+        h = nn.Dense(self.cfg.intermediate_size, dtype=self.cfg.dtype,
+                     name="ffn_intermediate")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.cfg.hidden_size, name="ffn_output")(h)
+        h = nn.Dense(self.cfg.hidden_size, dtype=self.cfg.dtype,
+                     name="ffn_output")(h)
         return nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="final_layer_norm")(x + h)
 
 

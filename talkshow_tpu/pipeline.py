@@ -55,9 +55,16 @@ class Pipeline:
     # ------------------------------------------------------------------
     @classmethod
     def create(cls, rng: jax.Array | int = 0, wav2vec_cfg=None,
-               **body_kwargs) -> "Pipeline":
+               face_dtype="auto", **body_kwargs) -> "Pipeline":
         """Random-init pipeline (for tests/benchmarks; use
-        `from_torch_checkpoints` for reference weights)."""
+        `from_torch_checkpoints` for reference weights).
+
+        face_dtype: compute dtype for the wav2vec/face stage. "auto"
+        (default) selects bf16 on TPU — the wav2vec transformer is the
+        single largest inference cost and bf16 runs its matmuls on the
+        MXU at double rate; params stay f32 and norm/softmax math is kept
+        f32 (see Wav2Vec2Config.dtype). Pass None to force full f32
+        (bit-parity with the torch reference)."""
         if isinstance(rng, int):
             rng = jax.random.PRNGKey(rng)
         r_face, r_body = jax.random.split(rng)
@@ -67,7 +74,27 @@ class Pipeline:
         face_vars = face.init(r_face, jnp.zeros((1, 3200)),
                               jnp.zeros((1, 4)), 6)
         body = create_body_models(r_body, **body_kwargs)
-        return cls(face, face_vars, body)
+        pipe = cls(face, face_vars, body)
+        if face_dtype == "auto":
+            face_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                          else None)
+        if face_dtype is not None:
+            pipe = pipe.with_face_dtype(face_dtype)
+        return pipe
+
+    def with_face_dtype(self, dtype) -> "Pipeline":
+        """Rebuild the face stage with compute dtype `dtype` (None = f32).
+        Weights are untouched (flax casts per-op); only the module
+        definition changes, so jit caches rebuild on first use."""
+        import dataclasses
+
+        fm = self.face_model
+        cfg = dataclasses.replace(fm.wav2vec_cfg, dtype=dtype)
+        face = FaceGenerator(wav2vec_cfg=cfg, num_classes=fm.num_classes,
+                             identity=fm.identity, jaw_dim=fm.jaw_dim,
+                             exp_dim=fm.exp_dim)
+        return Pipeline(face, self.face_vars, self.body, self.num_classes,
+                        self.norm_stats)
 
     @classmethod
     def from_torch_checkpoints(cls, face_ckpt: str | None = None,
@@ -185,12 +212,17 @@ class Pipeline:
 
     def generate_body_continuity(self, wav_file: str, speaker: int,
                                  num_samples: int = 1, seed: int = 0,
-                                 sr_body: int = 16000):
+                                 sr_body: int = 22000):
         """Chunked long-audio generation (smplx_body_pixel.infer_on_audio
         continuity=True, :245-269): featurize the first 2 s and the rest
         separately (get_mfcc_sepa), sample the first chunk's tokens, then
         continue sampling the full grid with the first chunk teacher-forced
-        as an autoregressive prefix (generate :158-165)."""
+        as an autoregressive prefix (generate :158-165).
+
+        sr_body defaults to 22 kHz like infer_on_audio (:232, sr=22000):
+        the fps=30 MFCC hop of 734 samples is tuned for 22 kHz, so a
+        16 kHz stream would yield ~21.8 feature frames/s consumed as
+        30 fps (~27% slow motion)."""
         feat, gap = audio_ops.get_mfcc_sepa(wav_file, sr=sr_body, fps=30)
         S = num_samples
         ids = jnp.full((S,), speaker, jnp.int32)
@@ -269,7 +301,10 @@ class Pipeline:
                              f"mesh axis '{axis}' size {n}")
         feat = jnp.asarray(mfcc_feat, jnp.float32)[None].repeat(num_samples, 0)
         ids = jnp.full((num_samples,), speaker, jnp.int32)
-        keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+        # One key PER SHARD (not per sample): each shard's batched sampler
+        # draws a (B_local, ...) gumbel block from its key, so rows within
+        # a shard are already iid — per-sample keys would go unused.
+        keys = jax.random.split(jax.random.PRNGKey(seed), n)
         body = self.body
 
         # check_vma off: the sampler's scan carry starts from constant
@@ -318,7 +353,8 @@ class Pipeline:
 
         if continuity:
             conv = self.generate_body_continuity(wav_file, speaker,
-                                                 num_samples, seed)
+                                                 num_samples, seed,
+                                                 sr_body=sr_body)
         else:
             feat = audio_ops.get_mfcc(wav_file, sr=sr_body, fps=30)  # (Tm, 64)
             conv = np.asarray(self.generate_body(feat, speaker, num_samples, seed))

@@ -13,7 +13,11 @@ pure-numpy fallback — reproducing the reference setup:
   (rendering.py:143-163, voca/rendering.py:42-119, scripts/demo.py:247);
 * grid layouts keyed on the number of sequences:
   1/2/3 side-by-side, 9 -> 3x3, 12 -> 4x3, 16 -> 4x4, 18 -> 6x3
-  (rendering.py:208-232);
+  (rendering.py:208-232).  Extension: the reference only ever combines
+  `whole_body` with a single 800x1440 canvas (rendering.py:158-161 has
+  no multi-video whole-body path); here the 800x1440 tile applies to
+  any grid size, so multi-sample whole-body renders are a superset of
+  what the reference can produce (cosmetic only);
 * GT side-by-side (pass `gt_motion`; 2-video labels GT/result like
   rendering.py get_sen:31-64);
 * smooth vertex-normal shading of base color (0.3, 0.5, 0.55) with a

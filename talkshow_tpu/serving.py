@@ -66,6 +66,15 @@ class MotionServer:
     over `mesh_axis` (requests are independent; no collectives), so N
     chips serve a group in the device time of max_batch/N requests.
     `max_batch` must be a multiple of the axis size.
+
+    Bandwidth note: requests carry 16 kHz audio, and the body MFCCs are
+    computed from a 16->22 kHz sinc upsample, so spectral content above
+    8 kHz is absent.  `Pipeline.generate` loads the wav natively at
+    22 kHz; the same clip therefore yields slightly different body
+    features on the serving path.  Parity-critical callers should use
+    the offline path (or submit audio captured at >=22 kHz downsampled
+    to 16 kHz, where the difference is only the 8-11 kHz band — far
+    above the speech energy that drives the MFCC features).
     """
     pipe: Any
     bucket_frames: int = 32

