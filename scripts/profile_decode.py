@@ -63,15 +63,20 @@ def main():
     if jax.default_backend() == "tpu":
         tables = jax.jit(lambda v: pack_decode_tables(prior, v))(
             body.prior_vars)
-        ms = chain(lambda k, tb, pv, a: sample_tokens_fused(
-            prior, pv, ids, _jitter(a, k), k, tables=tb, interpret=False),
-            K, key, tables, body.prior_vars, audio)
-        print(f"fused pallas decode (B=1, H={H}): {ms:6.2f} ms/clip")
+        for B_f in (1, 4, 8, 16):
+            audio_b = jnp.zeros((B_f, H, 256))
+            ids_b = jnp.zeros((B_f,), jnp.int32)
+            ms = chain(lambda k, tb, pv, a: sample_tokens_fused(
+                prior, pv, ids_b, _jitter(a, k), k, tables=tb,
+                interpret=False),
+                K, key, tables, body.prior_vars, audio_b)
+            print(f"fused pallas decode (B={B_f}, H={H}): {ms:6.2f} "
+                  f"ms/batch = {ms / B_f:5.2f} ms/clip")
     else:
         print("fused pallas decode: skipped (TPU only; interpret mode is "
               "not a timing proxy)")
 
-    # B=4 batched diversity (XLA path; fused kernel is B=1)
+    # B=4 batched diversity on the XLA path (fused comparison above)
     audio4 = jnp.zeros((4, H, 256))
     ids4 = jnp.zeros((4,), jnp.int32)
     ms = chain(lambda k, pv, a: sample_tokens(prior, pv, ids4, _jitter(a, k),

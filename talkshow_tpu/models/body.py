@@ -82,8 +82,10 @@ def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
     audio encode -> AR token sampling -> VQ decode -> [body | hand] concat.
 
     use_fused: route the AR decode through the single-kernel Pallas decoder
-    (models/pixelcnn_pallas.py, ~3.5x faster).  Default (None) auto-selects
-    it on TPU for B == 1; the XLA lax.scan sampler handles everything else.
+    (models/pixelcnn_pallas.py, ~3.5x faster; the sample batch rides the
+    kernel's sublane axis so B samples decode in ~the time of one).
+    Default (None) auto-selects it on TPU for B <= MAX_FUSED_BATCH; the
+    XLA lax.scan sampler handles larger batches and other backends.
 
     tables: pre-packed decode weights (pixelcnn_pallas.pack_decode_tables).
     Packing transposes ~60 MB of prior weights (~3 ms device); serving
@@ -92,8 +94,10 @@ def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
     """
     audio = encode_audio(models, mfcc_feat)                  # (B, H, 256)
     if use_fused is None:
+        from talkshow_tpu.models.pixelcnn_pallas import MAX_FUSED_BATCH
         use_fused = (jax.default_backend() == "tpu"
-                     and audio.shape[0] == 1 and models.prior.bh_model)
+                     and audio.shape[0] <= MAX_FUSED_BATCH
+                     and models.prior.bh_model)
     if use_fused:
         from talkshow_tpu.models.pixelcnn_pallas import sample_tokens_fused
         tokens = sample_tokens_fused(

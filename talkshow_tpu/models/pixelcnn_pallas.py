@@ -21,23 +21,31 @@ tests/test_pixelcnn_pallas.py):
   ``col0 = X2 @ slab[2*dim : 6*dim]`` and ``col1 = X2 @ slab[0 : 4*dim]``
   — same LHS for both (output col j consumes kernel column kc = c - j + 1,
   which pairs every lane block with the same input column either way).
-  Layer 0 (mask A, 3 history rows) works identically from a ``(1, 6*dim)``
-  embedding-history vector.
+  Layer 0 (mask A, 3 history rows) works identically from a ``(Bp, 6*dim)``
+  embedding-history block.
 * Horizontal stack as one matmul per layer per pass:
   ``W_both = [[self, left], [0, self]]`` maps ``[x_c0 | x_c1]`` to both
-  columns' pre-gate features in a single ``(1, 2d) @ (2d, 4d)`` dot.
+  columns' pre-gate features in a single ``(Bp, 2d) @ (2d, 4d)`` dot.
   Mask A's "strictly left" tap falls out by packing self=0 for layer 0.
+* **Batched decode**: every row-state tensor carries the sample batch in
+  the SUBLANE dimension — the matmuls become ``(Bp, X) @ (X, Y)`` with
+  Bp = ceil(B, 8).  The MXU processes M<=8 rows in the same number of
+  passes as M=1, so B diverse samples (or B serving requests) decode in
+  ~the device time of one (VERDICT r2 #2; the reference's flagship demo
+  mode is num_sample=12 diversity, scripts/demo.py:195).  Per-sample
+  conditioning (class embedding, audio fusion rows, gumbel noise) is laid
+  out batch-minor in the sublane axis: row ``r*Bp + b``.
 * Mosaic cannot concatenate vectors across lane tiles, so gated halves are
   assembled through VMEM scratch slice writes, and the residual 1x1 conv is
   a block-diagonal matmul.
 * Sampling is gumbel-argmax over the logits.  The gumbel noise is drawn
   OUTSIDE the kernel with `jax.random.gumbel`, split per row/column exactly
   like the lax.scan sampler splits its keys — `jax.random.categorical` IS
-  gumbel-argmax, so for matching weights the fused decode reproduces the
-  XLA sampler's tokens bit-for-bit (modulo float reassociation in the
-  logits; tests pin seeds).  Teacher-forced rows (prefix continuation)
-  bypass sampling, and the emitted logits match the teacher-forced XLA
-  forward.
+  gumbel-argmax over a (B, K) block, so for matching weights the fused
+  decode reproduces the XLA sampler's tokens bit-for-bit for any B (modulo
+  float reassociation in the logits; tests pin seeds).  Teacher-forced rows
+  (prefix continuation) bypass sampling, and the emitted logits match the
+  teacher-forced XLA forward.
 
 All matmuls run in `dtype` (bfloat16 in production, float32 for the
 interpret-mode parity tests) with float32 accumulation.
@@ -53,6 +61,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+
+#: largest sample batch the fused kernel accepts (VMEM for the logits
+#: output block and per-batch conditioning rows grows linearly with B;
+#: 32 keeps the worst case well under the 100 MB vmem budget)
+MAX_FUSED_BATCH = 32
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -152,9 +165,14 @@ def pack_decode_tables(model, variables: Any, dtype=jnp.bfloat16) -> dict:
 # ---------------------------------------------------------------------------
 
 def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
-                 dtype, use_prng: bool, ablate: frozenset = frozenset()):
+                 dtype, use_prng: bool, B: int, Bp: int, has_prefix: bool,
+                 ablate: frozenset = frozenset()):
     """`ablate` disables kernel stages for profiling (wrong numerics):
     'vert', 'v2h', 'horiz', 'pass2', 'head'.  See scripts/profile_decode.py.
+
+    All row-state is (Bp, X): the sample batch rides the sublane axis
+    (Bp = ceil(B, 8)); per-(row, batch) conditioning arrays are indexed as
+    row ``r*Bp + b``.
     """
     D2 = 2 * dim
 
@@ -179,50 +197,58 @@ def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
                 preferred_element_type=jnp.float32)
 
         def gate_cols(pre_c0, pre_c1):
-            """gate() per column -> (1, D2) [g_c0 | g_c1] via scratch."""
-            hg[0:1, :dim] = (jnp.tanh(pre_c0[:, :dim])
-                             * jax.nn.sigmoid(pre_c0[:, dim:]))
-            hg[0:1, dim:] = (jnp.tanh(pre_c1[:, :dim])
-                             * jax.nn.sigmoid(pre_c1[:, dim:]))
-            return hg[0:1, :]
+            """gate() per column -> (Bp, D2) [g_c0 | g_c1] via scratch."""
+            hg[:, :dim] = (jnp.tanh(pre_c0[:, :dim])
+                           * jax.nn.sigmoid(pre_c0[:, dim:]))
+            hg[:, dim:] = (jnp.tanh(pre_c1[:, :dim])
+                           * jax.nn.sigmoid(pre_c1[:, dim:]))
+            return hg[...]
 
         def head_logits(xc):
             if "head" in ablate:
-                return jnp.zeros((1, Kp), jnp.float32)
+                return jnp.zeros((Bp, Kp), jnp.float32)
             h = jnp.maximum(dot(xc, w1_ref[...]) + headb_ref[0:1, :D2], 0.0)
             return dot(h, w2_ref[...]) + headb_ref[1:2, :Kp]
 
         def sample_col(logits, r, j):
             if use_prng:
                 # hardware PRNG gumbel (distribution-equivalent fast path;
-                # threefry gumbel on the host path costs ~10 ms per decode)
-                bits = pltpu.bitcast(pltpu.prng_random_bits((1, Kp)),
+                # threefry gumbel on the host path costs ~10 ms per decode).
+                # One (Bp, Kp) draw per column: rows are iid streams.
+                bits = pltpu.bitcast(pltpu.prng_random_bits((Bp, Kp)),
                                      jnp.uint32)
                 u = (pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32)
                      * (1.0 / (1 << 24)) + 2.0 ** -25)
                 z = logits - jnp.log(-jnp.log(u))
                 if Kp != K:
-                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, Kp), 1)
                     z = jnp.where(lane < K, z, -1e30)
             else:
-                z = logits + noise_ref[pl.ds(2 * r + j, 1), :]
-            t = jnp.argmax(z, axis=-1)[0].astype(jnp.int32)
-            t = jnp.where(r < pref_ref[0], tokin_ref[r, j], t)
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1) == t)
-            e = dot(oh.astype(dtype), emb_ref[...])            # (1, dim) f32
-            logit_ref[pl.ds(2 * r + j, 1), :] = logits
+                z = logits + noise_ref[pl.ds((2 * r + j) * Bp, Bp), :]
+            t = jnp.argmax(z, axis=-1, keepdims=True).astype(jnp.int32)
+            if has_prefix:
+                # forced tokens per batch row, assembled from SMEM scalars
+                sub = jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0)
+                forced = jnp.zeros((Bp, 1), jnp.int32)
+                for b in range(B):
+                    forced = jnp.where(sub == b, tokin_ref[b, r, j], forced)
+                t = jnp.where(r < pref_ref[0], forced, t)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (Bp, Kp), 1) == t)
+            e = dot(oh.astype(dtype), emb_ref[...])            # (Bp, dim) f32
+            logit_ref[pl.ds((2 * r + j) * Bp, Bp), :] = logits
             return t, e
 
         def horiz_pass(r, e_seed):
-            """One column pass; e_seed (1, dim) f32 seeds x_h col 0."""
-            hx[0:1, :dim] = e_seed
-            hx[0:1, dim:] = jnp.zeros((1, dim), jnp.float32)
-            xh = hx[0:1, :]
+            """One column pass; e_seed (Bp, dim) f32 seeds x_h col 0."""
+            hx[:, :dim] = e_seed
+            hx[:, dim:] = jnp.zeros((Bp, dim), jnp.float32)
+            xh = hx[...]
             for l in range(L if "horiz" not in ablate else 0):
                 if l == 1 and use_audio:
-                    xh = dot(xh, fhbd_ref[...]) + audh_ref[pl.ds(r, 1), :]
-                hb = dot(xh, whb_ref[l])                       # (1, 2*D2)
-                pre = hb + v2hc[l:l + 1, :] + bhcb_ref[l:l + 1, :]
+                    xh = dot(xh, fhbd_ref[...]) + audh_ref[pl.ds(r * Bp, Bp), :]
+                hb = dot(xh, whb_ref[l])                       # (Bp, 2*D2)
+                pre = (hb + v2hc[l * Bp:(l + 1) * Bp, :]
+                       + bhcb_ref[l * Bp:(l + 1) * Bp, :])
                 g = gate_cols(pre[:, :D2], pre[:, D2:])
                 out = dot(g, rbd_ref[l]) + brb_ref[l:l + 1, :]
                 xh = out + xh if l > 0 else out
@@ -232,12 +258,12 @@ def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
             # ---- vertical stack: advance every layer one row --------------
             for l in range(L if "vert" not in ablate else 0):
                 if l == 0:
-                    x3 = ehist[0:1, :]                         # (1, 6*dim)
+                    x3 = ehist[...]                            # (Bp, 6*dim)
                     hv_c0 = dot(x3, slab0_ref[3 * dim:9 * dim, :])
                     hv_c1 = dot(x3, slab0_ref[0:6 * dim, :])
                     v2h_w = slab0_ref[9 * dim:, :]
                 else:
-                    X2 = vstate[l:l + 1, :]
+                    X2 = vstate[l * Bp:(l + 1) * Bp, :]
                     slab = slabsB_ref[l - 1]
                     hv_c0 = dot(X2, slab[2 * dim:6 * dim, :])
                     hv_c1 = dot(X2, slab[0:4 * dim, :])
@@ -245,23 +271,25 @@ def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
                 hv_c0 = hv_c0 + bv_ref[l:l + 1, :]
                 hv_c1 = hv_c1 + bv_ref[l:l + 1, :]
                 if "v2h" not in ablate:
-                    v2hc[l:l + 1, :D2] = dot(hv_c0, v2h_w)
-                    v2hc[l:l + 1, D2:] = dot(hv_c1, v2h_w)
+                    v2hc[l * Bp:(l + 1) * Bp, :D2] = dot(hv_c0, v2h_w)
+                    v2hc[l * Bp:(l + 1) * Bp, D2:] = dot(hv_c1, v2h_w)
                 if l < L - 1:
-                    xn = gate_cols(hv_c0 + cls_ref[l:l + 1, :],
-                                   hv_c1 + cls_ref[l:l + 1, :])  # (1, D2)
+                    cls_l = cls_ref[l * Bp:(l + 1) * Bp, :]
+                    xn = gate_cols(hv_c0 + cls_l, hv_c1 + cls_l)  # (Bp, D2)
                     if l == 0 and use_audio:
-                        xn = dot(xn, fvbd_ref[...]) + audv_ref[pl.ds(r, 1), :]
+                        xn = (dot(xn, fvbd_ref[...])
+                              + audv_ref[pl.ds(r * Bp, Bp), :])
                     # next layer's X2: [prev_c0 | cur_c0 | prev_c1 | cur_c1]
-                    old_c0 = vstate[l + 1:l + 2, dim:2 * dim]
-                    old_c1 = vstate[l + 1:l + 2, 3 * dim:]
-                    vstate[l + 1:l + 2, 0:dim] = old_c0
-                    vstate[l + 1:l + 2, dim:2 * dim] = xn[:, :dim]
-                    vstate[l + 1:l + 2, 2 * dim:3 * dim] = old_c1
-                    vstate[l + 1:l + 2, 3 * dim:] = xn[:, dim:]
+                    nxt = slice((l + 1) * Bp, (l + 2) * Bp)
+                    old_c0 = vstate[nxt, dim:2 * dim]
+                    old_c1 = vstate[nxt, 3 * dim:]
+                    vstate[nxt, 0:dim] = old_c0
+                    vstate[nxt, dim:2 * dim] = xn[:, :dim]
+                    vstate[nxt, 2 * dim:3 * dim] = old_c1
+                    vstate[nxt, 3 * dim:] = xn[:, dim:]
 
             # ---- column 0: zero-seeded pass, sample t0 ---------------------
-            xh = horiz_pass(r, jnp.zeros((1, dim), jnp.float32))
+            xh = horiz_pass(r, jnp.zeros((Bp, dim), jnp.float32))
             t0, e0 = sample_col(head_logits(xh[:, :dim]), r, 0)
             # ---- column 1: e0-seeded pass, sample t1 -----------------------
             if "pass2" not in ablate:
@@ -271,15 +299,15 @@ def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
                 t1, e1 = t0, e0
 
             # ---- emit tokens + roll embedding history ----------------------
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-            tok_ref[pl.ds(r, 1), :] = jnp.where(
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (Bp, LANE), 1)
+            tok_ref[pl.ds(r * Bp, Bp), :] = jnp.where(
                 lane_ids == 0, t0, jnp.where(lane_ids == 1, t1, 0))
-            h12_c0 = ehist[0:1, dim:3 * dim]
-            h12_c1 = ehist[0:1, 4 * dim:]
-            ehist[0:1, 0:2 * dim] = h12_c0
-            ehist[0:1, 2 * dim:3 * dim] = e0
-            ehist[0:1, 3 * dim:5 * dim] = h12_c1
-            ehist[0:1, 5 * dim:] = e1
+            h12_c0 = ehist[:, dim:3 * dim]
+            h12_c1 = ehist[:, 4 * dim:]
+            ehist[:, 0:2 * dim] = h12_c0
+            ehist[:, 2 * dim:3 * dim] = e0
+            ehist[:, 3 * dim:5 * dim] = h12_c1
+            ehist[:, 5 * dim:] = e1
             return carry
 
         jax.lax.fori_loop(0, H, row_body, 0)
@@ -298,63 +326,74 @@ def _sample_fused(model, tables, variables, label, audio, rng,
     L, dim, K = model.n_layers, model.dim, model.input_dim
     D2 = 2 * dim
     Kp = _ceil_to(K, LANE)
-    H = audio.shape[1]
+    B, H = audio.shape[0], audio.shape[1]
+    Bp = _ceil_to(max(B, 1), 8)
     f32 = jnp.float32
 
+    def batch_rows(x):
+        """(A, B, C) -> (A*Bp, C): pad the batch axis to Bp and flatten it
+        batch-minor so the kernel slices row blocks a*Bp..a*Bp+Bp."""
+        x = jnp.pad(x, ((0, 0), (0, Bp - x.shape[1]), (0, 0)))
+        return x.reshape(x.shape[0] * Bp, x.shape[2])
+
     # --- per-call conditioning (tiny XLA ops) -----------------------------
-    lbl = label[0]
-    cls = jnp.stack([p[f"layer_{l}"]["class_embed"]["embedding"][lbl]
-                     for l in range(L)]).astype(f32)            # (L, D2)
-    bhcb = jnp.tile(tables["bh_sum"] + cls, (1, 2))             # (L, 2*D2)
+    cls = jnp.stack([p[f"layer_{l}"]["class_embed"]["embedding"][label]
+                     for l in range(L)]).astype(f32)            # (L, B, D2)
+    bhcb = batch_rows(jnp.tile(tables["bh_sum"][:, None] + cls, (1, 1, 2)))
+    cls = batch_rows(cls)                                       # (L*Bp, D2)
     brb = jnp.tile(tables["br"], (1, 2))                        # (L, D2)
     if model.audio:
-        aud_e = (audio[0].astype(f32) @ p["embedding_aud"]["kernel"][0, 0]
-                 + p["embedding_aud"]["bias"])                  # (H, dim)
+        aud_e = (audio.astype(f32) @ p["embedding_aud"]["kernel"][0, 0]
+                 + p["embedding_aud"]["bias"])                  # (B, H, dim)
         fv, fh = p["fusion_v"]["kernel"][0, 0], p["fusion_h"]["kernel"][0, 0]
-        audv = jnp.tile(aud_e @ fv[dim:] + p["fusion_v"]["bias"], (1, 2))
-        audh = jnp.tile(aud_e @ fh[dim:] + p["fusion_h"]["bias"], (1, 2))
+        audv = jnp.tile(aud_e @ fv[dim:] + p["fusion_v"]["bias"], (1, 1, 2))
+        audh = jnp.tile(aud_e @ fh[dim:] + p["fusion_h"]["bias"], (1, 1, 2))
+        audv = batch_rows(jnp.swapaxes(audv, 0, 1))             # (H*Bp, D2)
+        audh = batch_rows(jnp.swapaxes(audh, 0, 1))
     else:
-        audv = jnp.zeros((H, D2), f32)
-        audh = jnp.zeros((H, D2), f32)
+        audv = jnp.zeros((H * Bp, D2), f32)
+        audh = jnp.zeros((H * Bp, D2), f32)
 
     seed = jax.lax.bitcast_convert_type(
         jax.random.key_data(rng).reshape(-1)[-2:].astype(jnp.uint32),
         jnp.int32)
     if noise == "input":
         # Gumbel noise drawn with the SAME key-splitting scheme as the
-        # lax.scan sampler (split per row, then r0/r1 per column):
-        # jax.random.categorical is gumbel-argmax, so tokens match the XLA
-        # sampler bit-for-bit.  ~10 ms of threefry per decode — test path.
+        # lax.scan sampler (split per row, then r0/r1 per column, one
+        # (B, K) block per draw): jax.random.categorical is gumbel-argmax,
+        # so tokens match the XLA sampler bit-for-bit for any B.  ~10 ms
+        # of threefry per decode — test path.
         row_keys = jax.random.split(rng, H)
         col_keys = jax.vmap(jax.random.split)(row_keys)     # (H, 2, 2)
         gn = jax.vmap(jax.vmap(
-            lambda k: jax.random.gumbel(k, (1, K))[0]))(col_keys)  # (H,2,K)
-        gn = gn.reshape(2 * H, K)
-        gn = jnp.pad(gn, ((0, _ceil_to(2 * H, 8) - 2 * H), (0, Kp - K)),
+            lambda k: jax.random.gumbel(k, (B, K))))(col_keys)  # (H,2,B,K)
+        gn = jnp.pad(gn.reshape(2 * H, B, K), ((0, 0), (0, Bp - B), (0, 0)),
+                     constant_values=-1e30)
+        gn = jnp.pad(gn.reshape(2 * H * Bp, K), ((0, 0), (0, Kp - K)),
                      constant_values=-1e30)
     else:                      # "prng": in-kernel hardware gumbel-argmax
         gn = jnp.zeros((8, Kp), jnp.float32)
     if prefix_tokens is None:
-        tok_in = jnp.zeros((H, 2), jnp.int32)
+        tok_in = jnp.zeros((B, H, 2), jnp.int32)
     else:
-        tok_in = prefix_tokens[0].astype(jnp.int32)
+        tok_in = prefix_tokens.astype(jnp.int32)
 
     kernel = _make_kernel(H, L, dim, Kp, K, bool(model.audio), dtype,
-                          noise == "prng", ablate)
+                          noise == "prng", B, Bp, prefix_len > 0, ablate)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     tok, logits = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((_ceil_to(H, 8), LANE), jnp.int32),
-                   jax.ShapeDtypeStruct((_ceil_to(2 * H, 8), Kp), f32)),
+        out_shape=(jax.ShapeDtypeStruct((H * Bp, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((2 * H * Bp, Kp), f32)),
         in_specs=[smem(), smem(), smem()] + [vmem()] * 17,
         out_specs=(vmem(), vmem()),
         scratch_shapes=[
-            pltpu.VMEM((max(L, 8), 2 * D2), f32),   # vstate (rows 1..L-1)
-            pltpu.VMEM((8, 6 * dim), f32),          # ehist  (row 0)
-            pltpu.VMEM((max(L, 8), 2 * D2), f32),   # v2h cache
-            pltpu.VMEM((8, D2), f32),               # gate assembly
-            pltpu.VMEM((8, D2), f32),               # x_h seed assembly
+            pltpu.VMEM((L * Bp, 2 * D2), f32),      # vstate (rows 1..L-1)
+            pltpu.VMEM((Bp, 6 * dim), f32),         # ehist  (row 0)
+            pltpu.VMEM((L * Bp, 2 * D2), f32),      # v2h cache
+            pltpu.VMEM((Bp, D2), f32),              # gate assembly
+            pltpu.VMEM((Bp, D2), f32),              # x_h seed assembly
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -364,7 +403,10 @@ def _sample_fused(model, tables, variables, label, audio, rng,
       tables["slab0"], tables["slabsB"], tables["whb"], tables["rbd"],
       tables["fvbd"], tables["fhbd"], tables["w1"], tables["w2"],
       tables["emb"])
-    return tok[:H, :2][None], logits[:2 * H, :K].reshape(H, 2, K)[None]
+    tok = tok.reshape(H, Bp, LANE)[:, :B, :2].swapaxes(0, 1)    # (B, H, 2)
+    logits = (logits.reshape(H, 2, Bp, Kp)[:, :, :B, :K]
+              .transpose(2, 0, 1, 3))                           # (B, H, 2, K)
+    return tok, logits
 
 
 def sample_tokens_fused(model, variables: Any, label: jnp.ndarray,
@@ -374,7 +416,9 @@ def sample_tokens_fused(model, variables: Any, label: jnp.ndarray,
                         dtype=jnp.bfloat16, interpret: bool | None = None,
                         noise: str | None = None,
                         return_logits: bool = False):
-    """Drop-in fused replacement for `pixelcnn.sample_tokens` (B == 1).
+    """Drop-in fused replacement for `pixelcnn.sample_tokens` (B <=
+    MAX_FUSED_BATCH; the batch rides the kernel's sublane axis, so B
+    samples decode in ~the device time of one).
 
     `tables` should come from `pack_decode_tables` (pass it in to avoid
     re-packing per call).  `noise` selects the gumbel source:
@@ -388,9 +432,10 @@ def sample_tokens_fused(model, variables: Any, label: jnp.ndarray,
     Teacher-forced rows (`prefix_len`) reproduce the given tokens exactly
     and the emitted logits match the teacher-forced XLA forward either way.
     """
-    if audio.shape[0] != 1:
-        raise ValueError("fused decode supports batch size 1; "
-                         "use pixelcnn.sample_tokens for batched decodes")
+    if audio.shape[0] > MAX_FUSED_BATCH:
+        raise ValueError(
+            f"fused decode supports batch <= {MAX_FUSED_BATCH}; "
+            "use pixelcnn.sample_tokens for larger batches")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if noise is None:

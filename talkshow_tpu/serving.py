@@ -113,15 +113,16 @@ class MotionServer:
                 wav22)
             Tp = _round_up(max(feat.shape[1], 4), 4)
             feat = jnp.pad(feat, ((0, 0), (0, Tp - feat.shape[1]), (0, 0)))
-            # unrolled per-request decode: each row is a B=1 call, which on
-            # TPU auto-selects the fused Pallas decoder — ~7x faster than
-            # the batched XLA sampler at this length — with an explicit
-            # per-request key
+            # ONE batched AR decode for the whole group: the fused Pallas
+            # kernel carries the request batch in its sublane axis, so B
+            # requests decode in ~the device time of one (vs the round-2
+            # per-request unroll at B sequential decodes).  keys[0] seeds
+            # the batch; rows draw iid noise from the batched gumbel
+            # blocks, so per-request motion is deterministic per
+            # (seed, group composition) rather than per-request key.
             b = body._replace(**bvars)
-            conv = jnp.concatenate(
-                [generate_conv_poses(b, feat[j:j + 1], ids[j:j + 1],
-                                     keys[j], tables=tables)[0]
-                 for j in range(feat.shape[0])], axis=0)
+            conv, _ = generate_conv_poses(b, feat, ids, keys[0],
+                                          tables=tables)
             if norm is not None:
                 conv = conv * norm[1] + norm[0]
             # length-match the body to the face bucket (demo.py:207-211)

@@ -99,7 +99,7 @@ def test_no_audio_variant():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_tables_reuse_and_rejects_batched(small_prior):
+def test_tables_reuse_and_rejects_oversize_batch(small_prior):
     m, v, audio = small_prior
     label = jnp.array([0], jnp.int32)
     tables = pack_decode_tables(m, v, dtype=jnp.float32)
@@ -108,9 +108,60 @@ def test_tables_reuse_and_rejects_batched(small_prior):
     b = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(9),
                             dtype=jnp.float32)
     assert jnp.all(a == b)
-    with pytest.raises(ValueError, match="batch size 1"):
-        sample_tokens_fused(m, v, jnp.zeros((2,), jnp.int32),
-                            jnp.zeros((2, H, 256)), jax.random.PRNGKey(0))
+    from talkshow_tpu.models.pixelcnn_pallas import MAX_FUSED_BATCH
+    nb = MAX_FUSED_BATCH + 1
+    with pytest.raises(ValueError, match="batch"):
+        sample_tokens_fused(m, v, jnp.zeros((nb,), jnp.int32),
+                            jnp.zeros((nb, H, 256)), jax.random.PRNGKey(0))
+
+
+def test_batched_free_run_matches_xla_sampler_bitwise(small_prior):
+    """B=4 batched kernel (batch in the sublane axis): tokens match the
+    batched XLA sampler bit-for-bit in noise='input' mode, with DISTINCT
+    labels per sample (exercises per-batch class conditioning rows)."""
+    m, v, _ = small_prior
+    B = 4
+    audio = jax.random.normal(jax.random.PRNGKey(11), (B, H, 256))
+    label = jnp.array([0, 1, 2, 3], jnp.int32)
+    t_xla = sample_tokens_reference(m, v, label, audio, jax.random.PRNGKey(12))
+    t_fused = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(12),
+                                  dtype=jnp.float32, noise="input")
+    assert t_fused.shape == (B, H, 2)
+    assert jnp.all(t_xla == t_fused)
+    # samples are diverse across the batch
+    assert bool(jnp.any(t_fused[0] != t_fused[1]))
+
+
+def test_batched_teacher_forced_logits_match_full_forward(small_prior):
+    """Batched prefix/teacher-forcing: B=3 with per-sample token grids."""
+    m, v, _ = small_prior
+    B = 3
+    audio = jax.random.normal(jax.random.PRNGKey(13), (B, H, 256))
+    label = jnp.array([1, 3, 0], jnp.int32)
+    toks = jax.random.randint(jax.random.PRNGKey(14), (B, H, 2), 0, K)
+    full = m.apply(v, toks, label, audio)                  # (B, H, 2, K)
+    tok_out, fused = sample_tokens_fused(
+        m, v, label, audio, jax.random.PRNGKey(15), prefix_tokens=toks,
+        prefix_len=H, dtype=jnp.float32, return_logits=True)
+    assert jnp.all(tok_out == toks)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_batched_partial_prefix_matches_xla(small_prior):
+    """B=2 with a 3-row teacher-forced prefix, then free continuation."""
+    m, v, _ = small_prior
+    B = 2
+    audio = jax.random.normal(jax.random.PRNGKey(16), (B, H, 256))
+    label = jnp.array([2, 2], jnp.int32)
+    toks = jax.random.randint(jax.random.PRNGKey(17), (B, H, 2), 0, K)
+    out = sample_tokens_fused(m, v, label, audio, jax.random.PRNGKey(18),
+                              prefix_tokens=toks, prefix_len=3,
+                              dtype=jnp.float32, noise="input")
+    ref = sample_tokens_reference(m, v, label, audio, jax.random.PRNGKey(18),
+                                  prefix_tokens=toks, prefix_len=3)
+    assert jnp.all(out[:, :3] == toks[:, :3])
+    assert jnp.all(out == ref)
 
 
 def test_generate_conv_poses_fused_route():
