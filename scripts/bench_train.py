@@ -92,8 +92,37 @@ def main():
     if fl:
         out["body_pixel_mfu"] = round(fl / (ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
 
+    # stage 3: face generator (full-size wav2vec base; heaviest training
+    # compute in the system).  Reference trains batch 1 whole clips
+    # (config/face.json); we bench the bucketed batch the TPU trainer
+    # uses: 4 x 512-frame clips (~17 s each).
+    from talkshow_tpu.models.face import FaceGenerator
+
+    face = FaceGenerator()
+    Bf, Tf = 4, 512
+    n = Tf * 16000 // 30
+    init3, step3 = tsteps.make_face_step(face)
+    st3 = init3(jax.random.PRNGKey(3), samples_per_window=n, window=Tf)
+    batch_f = {
+        "waveform": jnp.asarray(rng.standard_normal((Bf, n)) * 0.1,
+                                jnp.float32),
+        "id_onehot": jax.nn.one_hot(jnp.asarray(rng.integers(0, 4, Bf)), 4),
+        "gt": jnp.asarray(rng.standard_normal((Bf, Tf, 106)) * 0.2,
+                          jnp.float32),
+        "valid_samples": jnp.full((Bf,), n, jnp.int32),
+        "valid_frames": jnp.full((Bf,), Tf, jnp.int32),
+    }
+    ms = timed_steps(step3, st3, batch_f, rng=jax.random.PRNGKey(4), K=8)
+    out["face_step_ms"] = round(ms, 1)
+    out["face_clips_per_sec"] = round(Bf / (ms / 1000), 2)
+    out["face_motion_sec_per_sec"] = round(Bf * Tf / 30 / (ms / 1000), 1)
+    fl = step_flops(step3, st3, batch_f, jax.random.PRNGKey(4))
+    if fl:
+        out["face_mfu"] = round(fl / (ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
+
     out["batch"] = B
     out["window"] = T
+    out["face_batch"] = [Bf, Tf]
     out["backend"] = jax.default_backend()
     print(json.dumps(out))
 

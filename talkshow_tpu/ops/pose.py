@@ -211,6 +211,23 @@ def pred2poses(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def poses2poses(full: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Replace the lower-body channels of a FULL pose with the first GT
+    frame's (lower_body.py:104-116; imported by demo/diversity/continuity
+    upstream, live only in commented code — carried for C7 completeness)."""
+    rep = lambda s, e: jnp.broadcast_to(gt[0:1, s:e], full.shape[:-1] + (e - s,))
+    return jnp.concatenate(
+        [
+            full[..., 0:3], rep(3, 18),
+            full[..., 18:21], rep(21, 27),
+            full[..., 27:30], rep(30, 36),
+            full[..., 36:39], rep(39, 45),
+            full[..., 45:],
+        ],
+        axis=-1,
+    )
+
+
 def split_jaw_body_exp(face_out: jnp.ndarray):
     """Face-generator output (T, 103) -> (jaw (T,3), expression (T,100))."""
     return face_out[..., :3], face_out[..., 3:]

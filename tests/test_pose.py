@@ -80,3 +80,41 @@ def test_hand_pca_expansion():
     np.testing.assert_allclose(full[:, 75:120], packed[:, 75:87] @ left_c[:12], atol=1e-8)
     np.testing.assert_allclose(full[:, 120:165], packed[:, 87:99] @ right_c[:12], atol=1e-8)
     np.testing.assert_allclose(full[:, :75], packed[:, :75])
+
+
+def test_pose_blend_helpers_torch_parity():
+    """pred2poses / poses2poses / poses2pred vs an inline torch-style
+    numpy re-derivation of lower_body.py:90-133 (concat slicing)."""
+    from talkshow_tpu.ops.pose import (LOWER_POSE, poses2poses, poses2pred,
+                                       pred2poses)
+
+    rng = np.random.default_rng(3)
+    gt = rng.standard_normal((5, 265)).astype(np.float32)
+    pred = rng.standard_normal((7, 232)).astype(np.float32)
+    full = rng.standard_normal((7, 265)).astype(np.float32)
+
+    def rep(s, e, n):
+        return np.repeat(gt[0:1, s:e], n, axis=0)
+
+    # pred2poses (lower_body.py:90-101): pred channels interleaved with gt
+    ref = np.concatenate([pred[:, :3], rep(3, 18, 7), pred[:, 3:6],
+                          rep(21, 27, 7), pred[:, 6:9], rep(30, 36, 7),
+                          pred[:, 9:12], rep(39, 45, 7), pred[:, 12:]], 1)
+    np.testing.assert_allclose(np.asarray(pred2poses(jnp.asarray(pred),
+                                                     jnp.asarray(gt))), ref)
+
+    # poses2poses (lower_body.py:104-116): FULL pose, gt lower body
+    ref = np.concatenate([full[:, :3], rep(3, 18, 7), full[:, 18:21],
+                          rep(21, 27, 7), full[:, 27:30], rep(30, 36, 7),
+                          full[:, 36:39], rep(39, 45, 7), full[:, 45:]], 1)
+    np.testing.assert_allclose(np.asarray(poses2poses(jnp.asarray(full),
+                                                      jnp.asarray(gt))), ref)
+
+    # poses2pred (lower_body.py:117-133): FULL pose, canned lower body
+    lp = np.asarray(LOWER_POSE, np.float32)
+    ref = np.concatenate(
+        [full[:, :3], np.repeat(lp[None, 0:15], 7, 0), full[:, 18:21],
+         np.repeat(lp[None, 15:21], 7, 0), full[:, 27:30],
+         np.repeat(lp[None, 21:27], 7, 0), full[:, 36:39],
+         np.repeat(lp[None, 27:33], 7, 0), full[:, 45:]], 1)
+    np.testing.assert_allclose(np.asarray(poses2pred(jnp.asarray(full))), ref)

