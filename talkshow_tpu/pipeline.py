@@ -60,11 +60,13 @@ class Pipeline:
         `from_torch_checkpoints` for reference weights).
 
         face_dtype: compute dtype for the wav2vec/face stage. "auto"
-        (default) selects bf16 on TPU — the wav2vec transformer is the
-        single largest inference cost and bf16 runs its matmuls on the
-        MXU at double rate; params stay f32 and norm/softmax math is kept
-        f32 (see Wav2Vec2Config.dtype). Pass None to force full f32
-        (bit-parity with the torch reference)."""
+        (default) selects bf16 on TPU: params stay f32 and norm/softmax
+        math is kept f32 (see Wav2Vec2Config.dtype).  Measured v5e note:
+        at B=1 the stage is op-overhead/bandwidth-bound, not MXU-bound,
+        so bf16 is ~neutral on latency there (2.5 ms either way) — it
+        halves activation traffic and matters at serving batch sizes.
+        Pass None to force full f32 (bit-parity with the torch
+        reference)."""
         if isinstance(rng, int):
             rng = jax.random.PRNGKey(rng)
         r_face, r_body = jax.random.split(rng)

@@ -82,6 +82,13 @@ class MotionServer:
     stand: bool = False
     mesh: Any = None
     mesh_axis: str = "dp"
+    #: host->device waveform dtype.  "int16" (default) transfers PCM
+    #: samples and dequantizes ON DEVICE — half the bytes of f32 on a
+    #: bandwidth-bound link (serve_bench: the remote tunnel dominates
+    #: wall-clock).  Lossless for wav-file audio (16-bit PCM native);
+    #: float-sourced audio is rounded to the int16 grid (<=1/65536 per
+    #: sample).  "float32" keeps the exact submitted samples.
+    transfer_dtype: str = "int16"
     _queue: list = field(default_factory=list)
     _next_id: int = 0
     _flush_count: int = 0
@@ -105,6 +112,8 @@ class MotionServer:
             """The WHOLE group in one program — face, featurize, AR body
             decode, denorm, assembly — so a flush pays exactly one
             dispatch + readback per (bucket, batch) group."""
+            if wav.dtype == jnp.int16:      # PCM transfer: dequantize here
+                wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
             face_out = face.apply(face_vars, wav, onehot, time_steps,
                                   valid_samples=vs, valid_frames=vf)
             wav22 = jax.vmap(lambda w: audio_ops.resample(w, 16000, 22000))(
@@ -163,8 +172,21 @@ class MotionServer:
 
     # ------------------------------------------------------------------
     def submit(self, wav16: np.ndarray, speaker: int = 0) -> int:
-        """Queue one request; returns its id (resolved by `flush`)."""
-        wav16 = np.asarray(wav16, np.float32).reshape(-1)
+        """Queue one request; returns its id (resolved by `flush`).
+
+        Accepts float32 samples in [-1, 1] or int16 PCM.  With
+        transfer_dtype="int16" the audio is held and transferred as PCM
+        (float input is rounded to the int16 grid — exact for audio that
+        was ever 16-bit PCM)."""
+        wav16 = np.asarray(wav16).reshape(-1)
+        if self.transfer_dtype == "int16":
+            if wav16.dtype != np.int16:
+                wav16 = np.clip(np.round(wav16.astype(np.float32) * 32768.0),
+                                -32768, 32767).astype(np.int16)
+        else:
+            wav16 = (wav16.astype(np.float32) / 32768.0
+                     if wav16.dtype == np.int16
+                     else wav16.astype(np.float32))
         frames = int(len(wav16) * 30 // 16000)
         if frames < 1:
             raise ValueError("audio shorter than one frame")
@@ -186,7 +208,8 @@ class MotionServer:
         n = 0
         frames = self.bucket_frames
         while frames <= top:
-            self._run_group(frames, self.max_batch, requests=None)
+            np.asarray(self._run_group(frames, self.max_batch,
+                                       requests=None))
             n += 1
             frames += self.bucket_frames
         return n
@@ -206,13 +229,17 @@ class MotionServer:
         return (jnp.asarray(mean), jnp.asarray(std))
 
     def _run_group(self, bucket: int, B: int, requests, key=None):
-        """One program execution for a (bucket, batch-size) group.  With
-        requests=None runs zero-filled dummies (warmup trace)."""
+        """DISPATCH one program execution for a (bucket, batch-size)
+        group; returns the un-materialized device array (jax dispatch is
+        async, so the caller can overlap the next group's host work and
+        transfer with this group's compute).  With requests=None runs
+        zero-filled dummies (warmup trace)."""
         pipe = self.pipe
         # +1 frame of slack: a wav whose floor(len*30/16000) == bucket can
         # still hold up to ~_SPF more samples than bucket*_SPF
         nb = (bucket + 1) * _SPF
-        wav = np.zeros((B, nb), np.float32)
+        wdtype = np.int16 if self.transfer_dtype == "int16" else np.float32
+        wav = np.zeros((B, nb), wdtype)
         ids1 = np.zeros((B,), np.int32)
         onehot = np.zeros((B, pipe.num_classes), np.float32)
         vs = np.full((B,), nb, np.int32)
@@ -227,13 +254,12 @@ class MotionServer:
 
         if key is None:
             key = jax.random.PRNGKey(0)
-        keys = jax.random.split(key, B)          # one key per request row
-        full = self._group_fn(pipe.face_vars, pipe._body_arrays,
+        keys = jax.random.split(key, B)          # one key per shard row
+        return self._group_fn(pipe.face_vars, pipe._body_arrays,
                               pipe._decode_tables, self._norm_arrays,
                               jnp.asarray(wav), jnp.asarray(onehot),
                               jnp.asarray(ids1), jnp.asarray(vs),
                               jnp.asarray(vf), keys, bucket, self.stand)
-        return np.asarray(full)
 
     # ------------------------------------------------------------------
     def flush(self, seed: int | None = None) -> dict[int, np.ndarray]:
@@ -242,8 +268,12 @@ class MotionServer:
         seed=None (default) mixes an internal flush counter into the PRNG
         so repeated flushes sample fresh noise; pass a seed for
         reproducible sampling (same seed + same queue -> same motion).
-        Served requests leave the queue per group, so a failure mid-flush
-        keeps the unserved remainder queued for retry.
+
+        Two-phase: every group is DISPATCHED first (async — host->device
+        transfer and compute of group N overlap the host packing of
+        group N+1), then all results are read back.  Requests leave the
+        queue only after their group's readback succeeds, so a failure
+        mid-flush keeps the unserved remainder queued for retry.
         """
         groups: dict[int, list] = {}
         for r in self._queue:
@@ -252,7 +282,8 @@ class MotionServer:
         base = jax.random.PRNGKey(self._flush_count if seed is None
                                   else seed)
         self._flush_count += 1
-        out: dict[int, np.ndarray] = {}
+        dispatched: list = []
+        err: Exception | None = None
         for bucket in sorted(groups):
             reqs = groups[bucket]
             for i in range(0, len(reqs), self.max_batch):
@@ -262,12 +293,24 @@ class MotionServer:
                 # key is distinct per (bucket, group) to avoid cross-group
                 # noise reuse
                 key = jax.random.fold_in(jax.random.fold_in(base, bucket), i)
-                full = self._run_group(bucket, self.max_batch, chunk,
-                                       key=key)
-                served = set()
-                for j, r in enumerate(chunk):
-                    out[r.rid] = full[j, :r.frames]
-                    served.add(r.rid)
-                self._queue = [q for q in self._queue
-                               if q.rid not in served]
+                try:
+                    fut = self._run_group(bucket, self.max_batch, chunk,
+                                          key=key)
+                except Exception as e:         # keep earlier groups alive
+                    err = e
+                    break
+                dispatched.append((chunk, fut))
+            if err is not None:
+                break
+
+        out: dict[int, np.ndarray] = {}
+        for chunk, fut in dispatched:
+            full = np.asarray(fut)             # readback (synchronizes)
+            served = set()
+            for j, r in enumerate(chunk):
+                out[r.rid] = full[j, :r.frames]
+                served.add(r.rid)
+            self._queue = [q for q in self._queue if q.rid not in served]
+        if err is not None:
+            raise err
         return out

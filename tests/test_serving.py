@@ -26,8 +26,11 @@ def pipe():
 
 
 def _wav(seconds, seed=0):
+    """Random speech-stand-in, pre-rounded to the int16 PCM grid so the
+    server's int16 transfer path is bit-exact vs the offline pipeline."""
     rng = np.random.default_rng(seed)
-    return (rng.standard_normal(int(16000 * seconds)) * 0.1).astype(
+    x = np.round(rng.standard_normal(int(16000 * seconds)) * 0.1 * 32768.0)
+    return (np.clip(x, -32768, 32767) / 32768.0).astype(
         np.float32)
 
 
@@ -164,3 +167,24 @@ def test_mesh_sharded_server_matches_single_device(pipe):
 
     with pytest.raises(ValueError):
         MotionServer(pipe, max_batch=3, mesh=mesh)
+
+
+def test_int16_transfer_matches_float32(pipe):
+    """transfer_dtype='int16' (half the host->device bytes) must serve
+    PCM-grid audio identically to the float32 path, and accept raw int16
+    arrays directly."""
+    wav = _wav(0.5, 31)                        # already on the int16 grid
+    s_i = MotionServer(pipe, bucket_frames=16, max_batch=2)  # default int16
+    s_f = MotionServer(pipe, bucket_frames=16, max_batch=2,
+                       transfer_dtype="float32")
+    r_i = s_i.submit(wav, speaker=2)
+    r_f = s_f.submit(wav, speaker=2)
+    out_i = s_i.flush(seed=3)[r_i]
+    out_f = s_f.flush(seed=3)[r_f]
+    np.testing.assert_array_equal(out_i, out_f)
+
+    # raw int16 PCM submission
+    pcm = (wav * 32768.0).astype(np.int16)
+    r_p = s_i.submit(pcm, speaker=2)
+    out_p = s_i.flush(seed=3)[r_p]
+    np.testing.assert_array_equal(out_p, out_i)
