@@ -206,13 +206,12 @@ class Wav2Vec2Encoder(nn.Module):
         mask = jnp.any(span, axis=1)                             # (B, T)
         return jnp.where(mask[..., None], self.masked_spec_embed, x)
 
-    def __call__(self, waveform, frame_num: int, train: bool = False,
-                 valid_samples=None, valid_frames=None):
-        """valid_samples/valid_frames (B,) int arrays enable the
-        length-bucketed path: waveform/frame axes are padded to a bucket
-        size and real frames stay numerically equal to the unpadded
-        program (VALID convs + masked GroupNorm stats + masked pos-conv
-        input + masked attention; see FeatureExtractor docstring)."""
+    def pre_layers(self, waveform, frame_num: int, train: bool = False,
+                   valid_samples=None, valid_frames=None):
+        """Everything before the transformer layer stack: extractor ->
+        50->30 fps interpolation -> projection -> [spec augment] ->
+        pos-conv -> encoder LayerNorm.  Split out so the fused Pallas
+        layer path (models/wav2vec_pallas.py) can take over from here."""
         masked = valid_samples is not None
         feats = self.feature_extractor(
             waveform, valid_samples if masked else None)    # (B, T50, 512)
@@ -236,10 +235,21 @@ class Wav2Vec2Encoder(nn.Module):
             # sees exactly the zeros the unpadded program's SAME padding has
             x = x * frame_mask
         x = x + self.pos_conv_embed(x)
-        x = self.encoder_layer_norm(x)
+        return self.encoder_layer_norm(x)
+
+    def __call__(self, waveform, frame_num: int, train: bool = False,
+                 valid_samples=None, valid_frames=None):
+        """valid_samples/valid_frames (B,) int arrays enable the
+        length-bucketed path: waveform/frame axes are padded to a bucket
+        size and real frames stay numerically equal to the unpadded
+        program (VALID convs + masked GroupNorm stats + masked pos-conv
+        input + masked attention; see FeatureExtractor docstring)."""
+        x = self.pre_layers(waveform, frame_num, train, valid_samples,
+                            valid_frames)
         attn_mask = None
-        if masked:
-            key_valid = frame_mask[:, None, None, :, 0] > 0   # (B,1,1,T)
+        if valid_frames is not None:
+            key_valid = (jnp.arange(x.shape[1])[None, None, None, :]
+                         < valid_frames[:, None, None, None])    # (B,1,1,T)
             attn_mask = jnp.broadcast_to(
                 key_valid, (x.shape[0], 1, x.shape[1], x.shape[1]))
         for layer in self.encoder_layers:

@@ -96,3 +96,68 @@ def test_face_bf16_compute_close_to_f32():
     back = np.asarray(pipe.with_face_dtype(jnp.bfloat16)
                       .with_face_dtype(None).generate_face(wav))
     np.testing.assert_array_equal(back, f32)
+
+
+def test_fused_encoder_layers_match_flax(small_pair):
+    """The fused Pallas transformer-layer kernel (interpret mode, f32)
+    must reproduce the flax layer stack, unmasked and masked."""
+    import jax.numpy as jnp
+    from talkshow_tpu.models.wav2vec_pallas import encoder_layers_fused
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Encoder
+
+    _, model, params = small_pair
+    x = torch.randn(2, 3200).numpy()
+    frames = 6
+
+    ref = model.apply({"params": params}, jnp.asarray(x), frames)
+    pre = model.apply({"params": params}, jnp.asarray(x), frames,
+                      method=Wav2Vec2Encoder.pre_layers)
+    out = encoder_layers_fused(model.cfg, params, pre,
+                               dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # masked/bucketed variant: padded batch, per-sample valid lengths
+    vs = np.array([3200, 2400], np.int32)
+    vf = np.array([6, 4], np.int32)
+    xp = x.copy()
+    xp[1, 2400:] = 0.0
+    ref_m = model.apply({"params": params}, jnp.asarray(xp), frames,
+                        valid_samples=jnp.asarray(vs),
+                        valid_frames=jnp.asarray(vf))
+    pre_m = model.apply({"params": params}, jnp.asarray(xp), frames,
+                        valid_samples=jnp.asarray(vs),
+                        valid_frames=jnp.asarray(vf),
+                        method=Wav2Vec2Encoder.pre_layers)
+    out_m = encoder_layers_fused(model.cfg, params, pre_m,
+                                 valid_frames=jnp.asarray(vf),
+                                 dtype=jnp.float32, interpret=True)
+    # real frames equal; padded frames are don't-care
+    np.testing.assert_allclose(np.asarray(out_m)[0, :6],
+                               np.asarray(ref_m)[0, :6], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_m)[1, :4],
+                               np.asarray(ref_m)[1, :4], atol=2e-5)
+
+
+def test_face_apply_fused_matches_flax():
+    """face_apply_fused (fused transformer path) == FaceGenerator.apply."""
+    import jax
+    import jax.numpy as jnp
+    from talkshow_tpu.models.face import FaceGenerator
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+    from talkshow_tpu.models.wav2vec_pallas import face_apply_fused
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=2, num_heads=4,
+                         intermediate_size=64, conv_dim=(16, 16),
+                         conv_kernel=(10, 3), conv_stride=(5, 2),
+                         num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    face = FaceGenerator(wav2vec_cfg=cfg)
+    fv = face.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)),
+                   jnp.zeros((1, 4)), 6)
+    wav = jnp.asarray((np.random.default_rng(1).standard_normal((1, 16000))
+                       * 0.1).astype(np.float32))
+    onehot = jnp.zeros((1, 4))
+    ref = face.apply(fv, wav, onehot, 30)
+    out = face_apply_fused(face, fv, wav, onehot, 30,
+                           dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
