@@ -206,6 +206,16 @@ class Wav2Vec2Encoder(nn.Module):
         mask = jnp.any(span, axis=1)                             # (B, T)
         return jnp.where(mask[..., None], self.masked_spec_embed, x)
 
+    def mid_stack(self, feats, frame_num: int):
+        """Extractor features (B, T50, C) -> pre-transformer hidden
+        states: interpolation -> projection -> pos-conv -> LayerNorm.
+        Unmasked inference path; lets the fused Pallas extractor
+        (models/wav2vec_pallas.py) hand back into flax."""
+        feats = linear_interpolate(feats, frame_num)
+        x = self.feature_projection(feats)
+        x = x + self.pos_conv_embed(x)
+        return self.encoder_layer_norm(x)
+
     def pre_layers(self, waveform, frame_num: int, train: bool = False,
                    valid_samples=None, valid_frames=None):
         """Everything before the transformer layer stack: extractor ->

@@ -161,3 +161,52 @@ def test_face_apply_fused_matches_flax():
     out = face_apply_fused(face, fv, wav, onehot, 30,
                            dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("ks,ss,dims", [
+    ((10, 3), (5, 2), (16, 16)),              # tiny: G=2
+    ((10, 3, 2), (5, 2, 2), (24, 24, 24)),    # k2 tail: G=4
+    ((10, 3, 3, 2), (5, 2, 2, 2), (16,) * 4),  # G=8
+])
+def test_fused_extractor_matches_flax(ks, ss, dims):
+    """Polyphase fused conv extractor == flax FeatureExtractor (f32,
+    interpret mode), across kernel/stride families."""
+    import jax
+    import jax.numpy as jnp
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config, Wav2Vec2Encoder
+    from talkshow_tpu.models.wav2vec_pallas import extractor_fused
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4,
+                         intermediate_size=64, conv_dim=dims,
+                         conv_kernel=ks, conv_stride=ss,
+                         num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    model = Wav2Vec2Encoder(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)), 6)
+    x = jnp.asarray((np.random.default_rng(0).standard_normal((2, 7000))
+                     * 0.5).astype(np.float32))
+    ref = model.apply(v, x, method=Wav2Vec2Encoder.extract_features)
+    out = extractor_fused(cfg, v["params"], x, dtype=jnp.float32,
+                          interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_extractor_base_config_shapes():
+    """Full base-960h conv family (G=64) at a short waveform: shape and
+    value agreement (f32 interpret)."""
+    import jax
+    import jax.numpy as jnp
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config, Wav2Vec2Encoder
+    from talkshow_tpu.models.wav2vec_pallas import extractor_fused
+
+    cfg = Wav2Vec2Config(num_layers=1)        # conv stack is full-size
+    model = Wav2Vec2Encoder(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)), 6)
+    x = jnp.asarray((np.random.default_rng(1).standard_normal((1, 16000))
+                     * 0.3).astype(np.float32))
+    ref = model.apply(v, x, method=Wav2Vec2Encoder.extract_features)
+    out = extractor_fused(cfg, v["params"], x, dtype=jnp.float32,
+                          interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
