@@ -310,86 +310,93 @@ def pack_extractor_tables(cfg, params, dtype=jnp.bfloat16):
     return dict(w0=w0, ws=ws, gn=gn)
 
 
-def _make_extractor_kernels(R: int, C: int, G: int, k0: int,
-                            n_s2: int, T0: int, eps: float, dtype):
-    """(stats_kernel, main_kernel) for one batch row per grid step.
+def _ef_positions(m: int):
+    """Even-first storage order for m phases: position -> phase.
+    Positions 0..m/2-1 hold phases 0,2,..,m-2; the rest hold 1,3,..,m-1
+    (identity for m == 1)."""
+    if m == 1:
+        return [0]
+    return list(range(0, m, 2)) + list(range(1, m, 2))
 
-    The layer-0 im2col slab (G*R, k0) is built OUTSIDE the kernel with
-    static XLA slices, and the per-phase loops are lax.fori_loops with
-    dynamic SUBLANE slices — a fully unrolled variant (64 unaligned lane
-    slices + 186 distinct dots) was a Mosaic compile bomb (>9 min)."""
+
+def _make_extractor_kernel(R: int, C: int, G: int, k0: int,
+                           n_s2: int, T0: int, eps: float, dtype):
+    """One kernel: layer-0 conv + GroupNorm + gelu, then the stride-2
+    cascade.  ALL memory accesses are STATIC slices — the input slab is
+    pre-arranged in even-first phase order, which makes each layer's
+    tap-0/tap-1 contributions single contiguous matmuls over the even /
+    odd half of the buffer and tap-2 a per-block static-offset matmul;
+    outputs are written block-permuted into the NEXT layer's even-first
+    order.  (A fori_loop + dynamic-slice variant measured 37 ms — Mosaic
+    lowers big dynamic sublane windows poorly; static slices are free.)
+    """
+    CHUNKS = 8 if (G * R) % 8 == 0 else 1
+    ch = G * R // CHUNKS
 
     def dot(a, b):
         return jax.lax.dot_general(
             a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    def stats_kernel(slab_ref, w0_ref, o_ref):
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    def frame_mask(chunk_idx):
+        """(ch, 1) bool: true where the layer-0 frame is < T0.  Frame of
+        slab row r (even-first order) = (r % R) * G + phase(r // R) with
+        the closed form phase(b) = 2b if b < G/2 else 2b - G + 1."""
+        r = (jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)
+             + chunk_idx * ch)
+        b, j = r // R, r % R
+        phase = jnp.where(b < G // 2, 2 * b, 2 * b - G + 1) if G > 1 else b * 0
+        return j * G + phase < T0
 
-        def body(i, carry):
-            s, sq = carry
-            p = dot(slab_ref[0, pl.ds(i * R, R), :], w0_ref[...])  # (R, C)
-            # frames >= T0 whose window STRADDLES the wave end see real
-            # samples + pad zeros -> nonzero conv output; mask them out
-            # of the statistics (frame index of row j is j*G + i)
-            p = jnp.where(row_iota * G + i < T0, p, 0.0)
-            return (s + jnp.sum(p, axis=0, keepdims=True),
-                    sq + jnp.sum(p * p, axis=0, keepdims=True))
-
-        s, sq = jax.lax.fori_loop(
-            0, G, body, (jnp.zeros((1, C), jnp.float32),
-                         jnp.zeros((1, C), jnp.float32)))
+    def kernel(slab_ref, w0_ref, ws_ref, gn_ref, o_ref, buf0, buf1):
+        # ---- pass 1: GroupNorm statistics over the layer-0 conv ----------
+        # chunked so only (ch, C) f32 is live at once; straddle frames at
+        # the wave end (real samples + pad zeros -> nonzero conv) are
+        # masked out and the sums divide by the TRUE frame count
+        s = jnp.zeros((1, C), jnp.float32)
+        sq = jnp.zeros((1, C), jnp.float32)
+        for c in range(CHUNKS):
+            pch = dot(slab_ref[c * ch:(c + 1) * ch, :], w0_ref[...])
+            pch = jnp.where(frame_mask(c), pch, 0.0)
+            s = s + jnp.sum(pch, axis=0, keepdims=True)
+            sq = sq + jnp.sum(pch * pch, axis=0, keepdims=True)
         mean = s / T0
-        var = sq / T0 - mean * mean
-        o_ref[0, 0:1, :] = mean
-        o_ref[0, 1:2, :] = var
-
-    def main_kernel(slab_ref, w0_ref, ws_ref, gn_ref, mv_ref, o_ref,
-                    buf0, buf1):
-        mean = mv_ref[0][0:1, :]
-        rstd = jax.lax.rsqrt(mv_ref[0][1:2, :] + eps)
+        rstd = jax.lax.rsqrt(sq / T0 - mean * mean + eps)
         scale = gn_ref[0:1, :]
         bias = gn_ref[1:2, :]
 
-        # ---- layer 0 + GroupNorm + gelu -> buf0 phases -------------------
-        def l0_body(i, _):
-            p = dot(slab_ref[0, pl.ds(i * R, R), :], w0_ref[...])
-            p = (p - mean) * rstd * scale + bias
-            buf0[pl.ds(i * R, R), :] = _gelu_exact(p).astype(buf0.dtype)
-            return 0
+        # ---- pass 2: layer-0 conv (recomputed) + GN + gelu -> buf0 -------
+        for c in range(CHUNKS):
+            pch = dot(slab_ref[c * ch:(c + 1) * ch, :], w0_ref[...])
+            pch = (pch - mean) * rstd * scale + bias
+            buf0[c * ch:(c + 1) * ch, :] = _gelu_exact(pch).astype(buf0.dtype)
 
-        jax.lax.fori_loop(0, G, l0_body, 0)
-
-        # ---- stride-2 layers: phase-halving matmul cascade ---------------
+        # ---- stride-2 cascade --------------------------------------------
         src, dst = buf0, buf1
         m = G
         for l in range(n_s2):
             w0l, w1l, w2l = ws_ref[l, 0], ws_ref[l, 1], ws_ref[l, 2]
-
-            def phase_body(i, _, src=src, dst=dst, w0l=w0l, w1l=w1l,
-                           w2l=w2l):
-                acc = dot(src[pl.ds(2 * i * R, R), :], w0l)
-                acc = acc + dot(src[pl.ds((2 * i + 1) * R, R), :], w1l)
-                acc = acc + dot(src[pl.ds((2 * i + 2) * R, R), :], w2l)
-                dst[pl.ds(i * R, R), :] = _gelu_exact(acc).astype(dst.dtype)
-                return 0
-
-            if m > 2:
-                jax.lax.fori_loop(0, m // 2 - 1, phase_body, 0)
-            # wrap phase (2i+2 == m): third tap is phase 0 shifted one
-            # row; the read spills one row into phase 1's first row,
-            # which only feeds the final, always-invalid output frame
-            i_w = m // 2 - 1
-            acc = dot(src[(m - 2) * R:(m - 1) * R, :], w0l)
-            acc = acc + dot(src[(m - 1) * R:m * R, :], w1l)
-            acc = acc + dot(src[1:R + 1, :], w2l)
-            dst[i_w * R:(i_w + 1) * R, :] = _gelu_exact(acc).astype(dst.dtype)
+            mp = m // 2
+            half = mp * R
+            # tap 0 (even half) and tap 1 (odd half): single big matmuls
+            acc = dot(src[0:half, :], w0l) + dot(src[half:2 * half, :], w1l)
+            pos = _ef_positions(mp)
+            wpos = [pos.index(i) for i in range(mp)]   # phase -> position
+            for i in range(mp):
+                if i < mp - 1:
+                    t2 = dot(src[(i + 1) * R:(i + 2) * R, :], w2l)
+                else:
+                    # wrap: phase 0 shifted one row (its one-row spill
+                    # into position 1 only feeds the final, always-
+                    # invalid output frame)
+                    t2 = dot(src[1:R + 1, :], w2l)
+                v = _gelu_exact(acc[i * R:(i + 1) * R] + t2)
+                dst[wpos[i] * R:(wpos[i] + 1) * R, :] = v.astype(dst.dtype)
             src, dst = dst, src
-            m //= 2
-        o_ref[0] = src[0:R, :].astype(jnp.float32)
+            m = mp
+        o_ref[...] = src[0:R, :].astype(jnp.float32)
 
-    return stats_kernel, main_kernel
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "T0", "R", "dtype",
@@ -398,28 +405,17 @@ def _run_extractor(cfg, tables, slab0, T0, R, dtype, interpret):
     k0, s0, C, n_s2, _ = _extractor_dims(cfg)
     G = 2 ** n_s2
     B = slab0.shape[0]
-    stats_k, main_k = _make_extractor_kernels(
+    kernel = _make_extractor_kernel(
         R, C, G, k0, n_s2, T0, cfg.layer_norm_eps, dtype)
 
-    row3 = lambda b: (b, 0, 0)  # noqa: E731
-    slab_spec = pl.BlockSpec((1, G * R, slab0.shape[2]), row3)
     rep = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))  # noqa: E731
-
-    mv = pl.pallas_call(
-        stats_k, grid=(B,),
-        in_specs=[slab_spec, rep((k0, C))],
-        out_specs=pl.BlockSpec((1, 2, C), row3),
-        out_shape=jax.ShapeDtypeStruct((B, 2, C), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(slab0, tables["w0"])
-
     out = pl.pallas_call(
-        main_k, grid=(B,),
-        in_specs=[slab_spec, rep((k0, C)), rep((n_s2, 3, C, C)),
-                  rep((2, C)), pl.BlockSpec((1, 2, C), row3)],
-        out_specs=pl.BlockSpec((1, R, C), row3),
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((None, G * R, slab0.shape[2]),
+                               lambda b: (b, 0, 0)),
+                  rep((k0, C)), rep((n_s2, 3, C, C)), rep((2, C))],
+        out_specs=pl.BlockSpec((None, R, C), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, R, C), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((G * R, C), dtype),
@@ -428,7 +424,7 @@ def _run_extractor(cfg, tables, slab0, T0, R, dtype, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(slab0, tables["w0"], tables["ws"], tables["gn"], mv)
+    )(slab0, tables["w0"], tables["ws"], tables["gn"])
     return out
 
 
@@ -451,18 +447,19 @@ def extractor_fused(cfg, params, waveform, *, tables=None,
     B, N = waveform.shape
     T0 = (N - k0) // s0 + 1
     R = _ceil_to(-(-T0 // G), 8)
-    need = R * s0 * G + (k0 - s0)
+    # layer-0 im2col slab in EVEN-FIRST phase order (the cascade's
+    # layer-1 input layout): row b*R + j holds the k0 samples of frame
+    # j*G + ef(G)[b].  Built as reshape + one-row shift + transpose —
+    # regular data movement only.  (64 per-phase lane slices + stack
+    # measured 15.2 ms on TPU; this form is 0.62 ms.)
+    assert k0 <= 2 * s0, "slab windows span at most two stride-5 rows"
+    need = (R * G + 1) * s0
     wave = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (0, need - N)))
-    w2d = wave[:, :R * s0 * G].reshape(B, R, s0 * G)
-    # extend each row with the next row's first (k0 - s0) samples
-    ext = jnp.concatenate(
-        [w2d[:, 1:, :k0 - s0],
-         wave[:, R * s0 * G:][:, None, :]], axis=1)       # (B, R, k0-s0)
-    wave_ext = jnp.concatenate([w2d, ext], axis=2)        # (B, R, s0*G+k0-s0)
-    # layer-0 im2col slab, PHASE-MAJOR: row i*R + j holds the k0 samples
-    # of frame j*G + i (static XLA slices; ~1.3 MB — no gathers)
-    slab0 = jnp.stack([wave_ext[:, :, s0 * i:s0 * i + k0]
-                       for i in range(G)], axis=1)        # (B, G, R, k0)
+    w5 = wave.reshape(B, R * G + 1, s0)
+    slab_nat = jnp.concatenate(
+        [w5[:, :-1], w5[:, 1:]], axis=2)[..., :k0]        # (B, R*G, k0)
+    slab0 = slab_nat.reshape(B, R, G, k0).transpose(0, 2, 1, 3)
+    slab0 = slab0[:, jnp.asarray(_ef_positions(G))]       # (B, G, R, k0)
     slab0 = slab0.reshape(B, G * R, k0)
     out = _run_extractor(cfg, tables, slab0, T0, R, dtype,
                          bool(interpret))
