@@ -19,21 +19,37 @@ import jax.numpy as jnp
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def timed_steps(step, state, batch, rng=None, K: int = 16):
-    if rng is None:
-        s, _ = step(state, batch)
-    else:
-        s, _ = step(state, batch, rng)
-    jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x,
-                           s.step)
+def timed_steps(step, state, batch, rng=None, K: int = 16,
+                jitter_key: str = "poses"):
+    """Device ms per training step, K steps CHAINED in one lax.scan
+    dispatch (per-dispatch launch overhead on the remote-attached chip is
+    ~2 ms — unchained loops overstate the step time; see CLAUDE.md).
+
+    State threads through the scan (params change every iteration) and the
+    batch's `jitter_key` array is perturbed per iteration so loop-invariant
+    stages (e.g. the frozen-VQ encode of a fixed batch) cannot hoist out.
+    """
+    inner = getattr(step, "__wrapped__", step)
+
+    @jax.jit
+    def run_k(state, batch, key):
+        def body(s, k):
+            b = dict(batch)
+            b[jitter_key] = b[jitter_key].at[(0,) * b[jitter_key].ndim].add(
+                1e-9 * k[0].astype(b[jitter_key].dtype))
+            if rng is None:
+                s2, m = inner(s, b)
+            else:
+                s2, m = inner(s, b, k)
+            return s2, m[list(m)[0]]
+        _, ms = jax.lax.scan(body, state, jax.random.split(key, K))
+        return ms
+
+    r = run_k(state, batch, jax.random.PRNGKey(11))
+    np.asarray(r)
     t0 = time.perf_counter()
-    s = state
-    for i in range(K):
-        if rng is None:
-            s, m = step(s, batch)
-        else:
-            s, m = step(s, batch, jax.random.fold_in(rng, i))
-    np.asarray(m[list(m)[0]])
+    r = run_k(state, batch, jax.random.PRNGKey(12))
+    np.asarray(r)
     return (time.perf_counter() - t0) * 1000 / K
 
 
@@ -112,7 +128,8 @@ def main():
         "valid_samples": jnp.full((Bf,), n, jnp.int32),
         "valid_frames": jnp.full((Bf,), Tf, jnp.int32),
     }
-    ms = timed_steps(step3, st3, batch_f, rng=jax.random.PRNGKey(4), K=8)
+    ms = timed_steps(step3, st3, batch_f, rng=jax.random.PRNGKey(4), K=8,
+                     jitter_key="waveform")
     out["face_step_ms"] = round(ms, 1)
     out["face_clips_per_sec"] = round(Bf / (ms / 1000), 2)
     out["face_motion_sec_per_sec"] = round(Bf * Tf / 30 / (ms / 1000), 1)

@@ -94,10 +94,11 @@ def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
     """
     audio = encode_audio(models, mfcc_feat)                  # (B, H, 256)
     if use_fused is None:
-        from talkshow_tpu.models.pixelcnn_pallas import MAX_FUSED_BATCH
+        from talkshow_tpu.models.pixelcnn_pallas import (MAX_FUSED_BATCH,
+                                                         supports_fused)
         use_fused = (jax.default_backend() == "tpu"
                      and audio.shape[0] <= MAX_FUSED_BATCH
-                     and models.prior.bh_model)
+                     and supports_fused(models.prior))
     if use_fused:
         from talkshow_tpu.models.pixelcnn_pallas import sample_tokens_fused
         tokens = sample_tokens_fused(

@@ -80,12 +80,16 @@ class FaceGenerator(nn.Module):
         self.heads = FaceDecoderHeads(self.jaw_dim, self.exp_dim)
 
     def __call__(self, waveform, id_onehot, time_steps: int,
-                 train: bool = False, valid_samples=None, valid_frames=None):
+                 train: bool = False, valid_samples=None, valid_frames=None,
+                 freeze_extractor: bool = False):
         """valid_samples/valid_frames (B,) enable length-bucketed batches:
         waveform/time axes padded to a bucket, real frames numerically
-        equal to the unpadded program (see Wav2Vec2Encoder.__call__)."""
+        equal to the unpadded program (see Wav2Vec2Encoder.__call__).
+        freeze_extractor stops gradients at the wav2vec CNN output (the
+        training path — the CNN is frozen, so its backward is pure waste)."""
         hidden = self.audio_encoder(waveform, time_steps, train,
-                                    valid_samples, valid_frames)
+                                    valid_samples, valid_frames,
+                                    freeze_extractor)
         feature = self.audio_feature_map(hidden)            # (B, T, 256)
         frame_mask = None
         if valid_frames is not None:

@@ -72,6 +72,14 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def supports_fused(model) -> bool:
+    """Whether this GatedPixelCNN's shape fits the fused kernel's layout:
+    the horizontal/vertical state rows live on LANE-tiled VMEM, so `dim`
+    must be a LANE multiple (the full-size config's 256 is; tiny test
+    models are not), and the kernel implements the bh_model data flow."""
+    return bool(model.bh_model) and model.dim % LANE == 0
+
+
 # ---------------------------------------------------------------------------
 # Weight packing (label/audio independent; do once per loaded model)
 # ---------------------------------------------------------------------------
@@ -83,13 +91,13 @@ def pack_decode_tables(model, variables: Any, dtype=jnp.bfloat16) -> dict:
     to `sample_tokens_fused`.  Label- and audio-dependent conditioning is
     computed per call instead (it is tiny).
     """
-    if not model.bh_model:
-        raise NotImplementedError("fused decode requires bh_model=True")
+    if not supports_fused(model):
+        raise ValueError(
+            f"fused decode requires bh_model=True and dim % {LANE} == 0 "
+            f"(got bh_model={model.bh_model}, dim={model.dim})")
     p = variables["params"]
     L, dim, K = model.n_layers, model.dim, model.input_dim
     D2 = 2 * dim
-    if dim % LANE:
-        raise ValueError(f"dim={dim} must be a multiple of {LANE}")
     Kp = _ceil_to(K, LANE)
 
     def vert_slab(l):

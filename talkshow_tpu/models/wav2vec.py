@@ -217,14 +217,24 @@ class Wav2Vec2Encoder(nn.Module):
         return self.encoder_layer_norm(x)
 
     def pre_layers(self, waveform, frame_num: int, train: bool = False,
-                   valid_samples=None, valid_frames=None):
+                   valid_samples=None, valid_frames=None,
+                   freeze_extractor: bool = False):
         """Everything before the transformer layer stack: extractor ->
         50->30 fps interpolation -> projection -> [spec augment] ->
         pos-conv -> encoder LayerNorm.  Split out so the fused Pallas
-        layer path (models/wav2vec_pallas.py) can take over from here."""
+        layer path (models/wav2vec_pallas.py) can take over from here.
+
+        freeze_extractor=True stops gradients at the extractor output so
+        the backward pass never differentiates the 7-conv cascade over the
+        raw waveform — torch autograd skips it entirely when the CNN params
+        have requires_grad=False (reference nets/smplx_face.py freezes the
+        feature extractor), whereas optimizer-side masking alone would
+        still pay the conv backward."""
         masked = valid_samples is not None
         feats = self.feature_extractor(
             waveform, valid_samples if masked else None)    # (B, T50, 512)
+        if freeze_extractor:
+            feats = jax.lax.stop_gradient(feats)
         if masked:
             in_valid = conv_valid_length(valid_samples, self.cfg)
             feat_mask = (jnp.arange(feats.shape[1])[None, :, None]
@@ -248,14 +258,15 @@ class Wav2Vec2Encoder(nn.Module):
         return self.encoder_layer_norm(x)
 
     def __call__(self, waveform, frame_num: int, train: bool = False,
-                 valid_samples=None, valid_frames=None):
+                 valid_samples=None, valid_frames=None,
+                 freeze_extractor: bool = False):
         """valid_samples/valid_frames (B,) int arrays enable the
         length-bucketed path: waveform/frame axes are padded to a bucket
         size and real frames stay numerically equal to the unpadded
         program (VALID convs + masked GroupNorm stats + masked pos-conv
         input + masked attention; see FeatureExtractor docstring)."""
         x = self.pre_layers(waveform, frame_num, train, valid_samples,
-                            valid_frames)
+                            valid_frames, freeze_extractor)
         attn_mask = None
         if valid_frames is not None:
             key_valid = (jnp.arange(x.shape[1])[None, None, None, :]

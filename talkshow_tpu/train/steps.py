@@ -231,7 +231,11 @@ def make_face_step(face: FaceGenerator, learning_rate: float = 1e-3,
                           rngs={"dropout": r_drop, "spec_augment": r_mask}
                           if stochastic else {},
                           valid_samples=valid_samples,
-                          valid_frames=valid_frames)
+                          valid_frames=valid_frames,
+                          # CNN is frozen (set_to_zero below): stop the
+                          # gradient at its output so the conv backward
+                          # never runs, as torch does for requires_grad=False
+                          freeze_extractor=True)
         if valid_frames is None:
             l1 = jnp.mean(jnp.abs(pred[..., :6] - gt[..., :6]))
             mse = jnp.mean((pred[..., -100:] - gt[..., -100:]) ** 2)

@@ -95,6 +95,54 @@ def test_face_step_runs_and_freezes_cnn():
     np.testing.assert_array_equal(np.asarray(cnn_before), np.asarray(cnn_after))
 
 
+def test_face_freeze_extractor_grads_match_full_backward():
+    """stop_gradient at the frozen CNN output (train/steps.py) must leave
+    every trainable-param gradient bit-identical to the full backward —
+    the skipped extractor backward was dead compute (its grads were zeroed
+    by optax.set_to_zero anyway)."""
+    from talkshow_tpu.models.face import FaceGenerator
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4,
+                         intermediate_size=64, conv_dim=(16, 16),
+                         conv_kernel=(10, 3), conv_stride=(5, 2),
+                         num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    face = FaceGenerator(wav2vec_cfg=cfg)
+    variables = face.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)),
+                          jnp.zeros((1, 4)), 6)
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 3200)), jnp.float32)
+    ids = jnp.eye(4)[jnp.asarray([0, 1])]
+    gt = jnp.asarray(rng.standard_normal((2, 6, 106)) * 0.1, jnp.float32)
+
+    def loss(params, freeze):
+        pred = face.apply({"params": params}, wav, ids, 6, False,
+                          freeze_extractor=freeze)
+        return jnp.mean(jnp.abs(pred[..., :6] - gt[..., :6])) + \
+            jnp.mean((pred[..., -100:] - gt[..., -100:]) ** 2)
+
+    g_full = jax.grad(loss)(variables["params"], False)
+    g_stop = jax.grad(loss)(variables["params"], True)
+
+    # extractor grads: nonzero in the full backward, exactly zero stopped
+    fx_full = jax.tree_util.tree_leaves(
+        g_full["audio_encoder"]["feature_extractor"])
+    fx_stop = jax.tree_util.tree_leaves(
+        g_stop["audio_encoder"]["feature_extractor"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in fx_full)
+    assert all(float(jnp.abs(g).max()) == 0 for g in fx_stop)
+
+    # every other grad is bit-identical
+    def drop_fx(tree):
+        t = jax.tree_util.tree_map(lambda x: x, tree)  # shallow-ish copy
+        del t["audio_encoder"]["feature_extractor"]
+        return t
+    a, b = drop_fx(g_full), drop_fx(g_stop)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
