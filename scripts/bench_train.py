@@ -20,23 +20,31 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def timed_steps(step, state, batch, rng=None, K: int = 16,
-                jitter_key: str = "poses"):
+                jitter_key="poses"):
     """Device ms per training step, K steps CHAINED in one lax.scan
     dispatch (per-dispatch launch overhead on the remote-attached chip is
     ~2 ms — unchained loops overstate the step time; see CLAUDE.md).
 
     State threads through the scan (params change every iteration) and the
-    batch's `jitter_key` array is perturbed per iteration so loop-invariant
-    stages (e.g. the frozen-VQ encode of a fixed batch) cannot hoist out.
+    batch's `jitter_key` array(s) are perturbed per iteration so
+    loop-invariant stages (e.g. the frozen-VQ encode of a fixed batch)
+    cannot hoist out. Float arrays get an eps add; integer arrays (token
+    grids) get a batch-axis roll — a valid-value permutation.
     """
     inner = getattr(step, "__wrapped__", step)
+    jkeys = [jitter_key] if isinstance(jitter_key, str) else list(jitter_key)
 
     @jax.jit
     def run_k(state, batch, key):
         def body(s, k):
             b = dict(batch)
-            b[jitter_key] = b[jitter_key].at[(0,) * b[jitter_key].ndim].add(
-                1e-9 * k[0].astype(b[jitter_key].dtype))
+            for jk in jkeys:
+                x = b[jk]
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    b[jk] = jnp.roll(x, k[0] % x.shape[0], axis=0)
+                else:
+                    b[jk] = x.at[(0,) * x.ndim].add(
+                        1e-9 * k[0].astype(x.dtype))
             if rng is None:
                 s2, m = inner(s, b)
             else:
@@ -108,6 +116,28 @@ def main():
     if fl:
         out["body_pixel_mfu"] = round(fl / (ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
 
+    # stage 2 with cached frozen-VQ tokens (Trainer.token_encoder: epochs
+    # 2+ skip the frozen encode; numerically identical)
+    enc = tsteps.make_token_encoder(vq_body, vq_hand, frozen_vars, st1.vq)
+    batch_tok = dict(batch, tokens=enc(batch["poses"]))
+    ms = timed_steps(step2, st2, batch_tok, rng=jax.random.PRNGKey(2),
+                     jitter_key=["aud_feat", "tokens"])
+    out["body_pixel_cached_step_ms"] = round(ms, 1)
+    out["body_pixel_cached_windows_per_sec"] = round(B / (ms / 1000), 1)
+
+    # stage 2, mixed precision: prior computes in bf16 (f32 master params,
+    # f32 softmax/CE) — the opt-in GatedPixelCNN(dtype=bf16) path.
+    prior16 = GatedPixelCNN(dtype=jnp.bfloat16)
+    init2b, step2b = tsteps.make_body_pixel_step(
+        prior16, audio_enc, vq_body, vq_hand, frozen_vars, st1.vq)
+    st2b = init2b(jax.random.PRNGKey(1), window=T)
+    ms = timed_steps(step2b, st2b, batch, rng=jax.random.PRNGKey(2))
+    out["body_pixel_bf16_step_ms"] = round(ms, 1)
+    out["body_pixel_bf16_windows_per_sec"] = round(B / (ms / 1000), 1)
+    if fl:  # same flop count as the f32 program
+        out["body_pixel_bf16_mfu"] = round(
+            fl / (ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
+
     # stage 3: face generator (full-size wav2vec base; heaviest training
     # compute in the system).  Reference trains batch 1 whole clips
     # (config/face.json); we bench the bucketed batch the TPU trainer
@@ -136,6 +166,20 @@ def main():
     fl = step_flops(step3, st3, batch_f, jax.random.PRNGKey(4))
     if fl:
         out["face_mfu"] = round(fl / (ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
+
+    # stage 3, mixed precision: wav2vec + heads compute in bf16 via
+    # Wav2Vec2Config.dtype (LayerNorm/softmax accumulate f32 inside flax).
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+
+    face16 = FaceGenerator(wav2vec_cfg=Wav2Vec2Config(dtype=jnp.bfloat16))
+    init3b, step3b = tsteps.make_face_step(face16)
+    st3b = init3b(jax.random.PRNGKey(3), samples_per_window=n, window=Tf)
+    ms = timed_steps(step3b, st3b, batch_f, rng=jax.random.PRNGKey(4), K=8,
+                     jitter_key="waveform")
+    out["face_bf16_step_ms"] = round(ms, 1)
+    out["face_bf16_motion_sec_per_sec"] = round(Bf * Tf / 30 / (ms / 1000), 1)
+    if fl:
+        out["face_bf16_mfu"] = round(fl / (ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
 
     out["batch"] = B
     out["window"] = T

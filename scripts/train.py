@@ -40,6 +40,14 @@ def parse_args():
                         "this many frames (compile O(#buckets) programs) "
                         "and batch same-bucket clips")
     p.add_argument("--face_batch_size", type=int, default=1)
+    p.add_argument("--no_token_cache", action="store_true",
+                   help="body-pixel stage: disable the per-window cache of "
+                        "frozen-VQ token grids (cache is numerically "
+                        "identical; epochs 2+ skip the frozen encode)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training for the pixel/face stages: "
+                        "bf16 compute (f32 master params, f32 softmax/CE and "
+                        "norm accumulation); other stages ignore the flag")
     p.add_argument("--synthetic", action="store_true",
                    help="use a synthetic dataset (smoke runs)")
     p.add_argument("--seed", type=int, default=0)
@@ -100,6 +108,7 @@ def main():
 
     rep6d = cfg.data.pose.convert_to_6d
     scale = 2 if rep6d else 1
+    token_encoder = None
     if name == "s2g_body_vq":
         from talkshow_tpu.models.vqvae import VQVAE
         vq_body = VQVAE(in_dim=39 * scale, num_hiddens=cfg.model.vq_num_hiddens,
@@ -135,17 +144,23 @@ def main():
         prior = GatedPixelCNN(input_dim=cfg.model.code_num,
                               dim=pix_dim, n_layers=pix_layers,
                               n_classes=cfg.model.num_speakers,
-                              bh_model=cfg.model.bh_model)
+                              bh_model=cfg.model.bh_model,
+                              dtype=jax.numpy.bfloat16 if args.bf16 else None)
         audio_enc = AudioEncoder(num_hiddens=256)
         init_state, step = tsteps.make_body_pixel_step(
             prior, audio_enc, vq_body, vq_hand, frozen_vars, frozen_states,
             cfg.train.generator_learning_rate, cfg.train.max_gradient_norm,
             rep6d=rep6d)
+        if not args.no_token_cache:
+            token_encoder = tsteps.make_token_encoder(
+                vq_body, vq_hand, frozen_vars, frozen_states, rep6d=rep6d)
         needs_rng = True
     elif name == "s2g_face":
         from talkshow_tpu.models.face import FaceGenerator
+        from talkshow_tpu.models.wav2vec import Wav2Vec2Config
         from talkshow_tpu.train.steps import make_face_step
-        face = FaceGenerator()
+        face = FaceGenerator(wav2vec_cfg=Wav2Vec2Config(
+            dtype=jax.numpy.bfloat16 if args.bf16 else None))
         init_state, step = make_face_step(
             face, max_grad_norm=cfg.train.max_gradient_norm,
             window=cfg.data.pose.generate_length)
@@ -172,7 +187,8 @@ def main():
     trainer = Trainer(cfg, ds, init_state, step, needs_rng=needs_rng,
                       run_dir=run_dir, batch_mode=batch_mode,
                       face_bucket_frames=args.face_bucket,
-                      face_batch_size=args.face_batch_size).setup()
+                      face_batch_size=args.face_batch_size,
+                      token_encoder=token_encoder).setup()
     if args.resume:
         trainer.resume(args.resume)
     trainer.train(epochs=args.epochs)

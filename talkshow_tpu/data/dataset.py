@@ -160,6 +160,9 @@ class ShowDataset:
                     "aud_feat": aud,
                     "speaker": np.int32(SPEAKER_ID[clip.speaker] - 20),
                     "betas": clip.betas,
+                    # identifies the window for trainer-side caches (the
+                    # frozen-VQ token cache); popped before the train step
+                    "window_key": np.asarray([ci, s], np.int64),
                 }
 
     def batches(self, batch_size: int, rng: np.random.Generator,

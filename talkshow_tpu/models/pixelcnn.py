@@ -52,6 +52,7 @@ class GatedMaskedLayer(nn.Module):
     residual: bool
     n_classes: int
     bh_model: bool = True
+    dtype: Any = None         # flax compute dtype (params stay f32)
 
     def setup(self):
         kh = self.kernel // 2 + 1
@@ -59,17 +60,21 @@ class GatedMaskedLayer(nn.Module):
         self.vrows = kh - 1 if self.mask_type == "A" else kh
         wcols = 3 if self.bh_model else 1
         self.class_embed = nn.Embed(self.n_classes, 2 * self.dim,
-                                    embedding_init=nn.initializers.normal(1.0))
+                                    embedding_init=nn.initializers.normal(1.0),
+                                    dtype=self.dtype)
         self.vert_stack = nn.Conv(2 * self.dim, (self.vrows, wcols),
                                   padding="VALID", kernel_init=xavier(),
-                                  name="vert_stack")
+                                  dtype=self.dtype, name="vert_stack")
         if self.bh_model:
-            self.vert_to_horiz = nn.Conv(2 * self.dim, (1, 1), kernel_init=xavier())
+            self.vert_to_horiz = nn.Conv(2 * self.dim, (1, 1), kernel_init=xavier(),
+                                         dtype=self.dtype)
             # mask A drops the last kernel col -> 1 effective col
             self.hcols = 1 if self.mask_type == "A" else 2
             self.horiz_stack = nn.Conv(2 * self.dim, (1, self.hcols),
-                                       padding="VALID", kernel_init=xavier())
-        self.horiz_resid = nn.Conv(self.dim, (1, 1), kernel_init=xavier())
+                                       padding="VALID", kernel_init=xavier(),
+                                       dtype=self.dtype)
+        self.horiz_resid = nn.Conv(self.dim, (1, 1), kernel_init=xavier(),
+                                   dtype=self.dtype)
 
     # -- full-grid (teacher-forced) path ---------------------------------
     def vert_conv_full(self, x_v):
@@ -141,14 +146,23 @@ class GatedPixelCNN(nn.Module):
     audio: bool = True
     bh_model: bool = True
     audio_channels: int = 256
+    #: flax compute dtype for the conv stack (params stay f32). bf16 here
+    #: is the mixed-precision training path; the f32 default matches the
+    #: reference exactly. Incremental decode assumes the f32 default (its
+    #: scan carries are f32) — use dtype only for teacher-forced training.
+    dtype: Any = None
 
     def setup(self):
         self.embedding = nn.Embed(self.input_dim, self.dim,
-                                  embedding_init=nn.initializers.normal(1.0))
+                                  embedding_init=nn.initializers.normal(1.0),
+                                  dtype=self.dtype)
         if self.audio:
-            self.embedding_aud = nn.Conv(self.dim, (1, 1), kernel_init=xavier())
-            self.fusion_v = nn.Conv(self.dim, (1, 1), kernel_init=xavier())
-            self.fusion_h = nn.Conv(self.dim, (1, 1), kernel_init=xavier())
+            self.embedding_aud = nn.Conv(self.dim, (1, 1), kernel_init=xavier(),
+                                         dtype=self.dtype)
+            self.fusion_v = nn.Conv(self.dim, (1, 1), kernel_init=xavier(),
+                                    dtype=self.dtype)
+            self.fusion_h = nn.Conv(self.dim, (1, 1), kernel_init=xavier(),
+                                    dtype=self.dtype)
             self.aud_dropout = nn.Dropout(0.1)
         self.layers = [
             GatedMaskedLayer(
@@ -158,12 +172,15 @@ class GatedPixelCNN(nn.Module):
                 residual=i > 0,
                 n_classes=self.n_classes,
                 bh_model=self.bh_model,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )
             for i in range(self.n_layers)
         ]
-        self.out_hidden = nn.Conv(512, (1, 1), kernel_init=xavier())
-        self.out_logits = nn.Conv(self.input_dim, (1, 1), kernel_init=xavier())
+        self.out_hidden = nn.Conv(512, (1, 1), kernel_init=xavier(),
+                                  dtype=self.dtype)
+        self.out_logits = nn.Conv(self.input_dim, (1, 1), kernel_init=xavier(),
+                                  dtype=self.dtype)
 
     def head(self, x):
         return self.out_logits(nn.relu(self.out_hidden(x)))

@@ -118,6 +118,30 @@ class PixelState(NamedTuple):
     step: jnp.ndarray
 
 
+def make_token_encoder(vq_body: VQVAE, vq_hand: VQVAE,
+                       frozen_vq_vars: dict, frozen_vq_states: dict,
+                       rep6d: bool = False):
+    """Jitted poses -> (B, T/4, 2) token grid through the FROZEN stage-1
+    VQs. Deterministic given poses, so the trainer can cache it per
+    training window (Trainer.cache_tokens) instead of recomputing it every
+    step — the encode is ~22% of the pixel step's device time and its
+    output never changes across epochs."""
+    body_dim = BODY_DIM * (2 if rep6d else 1)
+    c_index = C_INDEX_6D if rep6d else C_INDEX_3D
+    full_dim = 330 if rep6d else 165
+
+    @jax.jit
+    def encode(poses):
+        conv = poses[..., c_index] if poses.shape[-1] == full_dim else poses
+        _, tb = vq_body.apply(frozen_vq_vars["body"], conv[..., :body_dim],
+                              frozen_vq_states["body"], method=VQVAE.encode)
+        _, th = vq_hand.apply(frozen_vq_vars["hand"], conv[..., body_dim:],
+                              frozen_vq_states["hand"], method=VQVAE.encode)
+        return jnp.stack([tb, th], axis=-1)        # (B, T/4, 2)
+
+    return encode
+
+
 def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
                          vq_body: VQVAE, vq_hand: VQVAE,
                          frozen_vq_vars: dict, frozen_vq_states: dict,
@@ -158,15 +182,22 @@ def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
             aud, True, mutable=["batch_stats"])
         logits = prior.apply({"params": params["prior"]}, tokens, speaker,
                              audio_feat, True, rngs={"dropout": rng})
+        # f32 softmax/CE even when the prior computes in bf16 (prior.dtype)
         ce = optax.softmax_cross_entropy_with_integer_labels(
-            logits.reshape(-1, logits.shape[-1]), tokens.reshape(-1)).mean()
+            logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
+            tokens.reshape(-1)).mean()
         return ce, updates["batch_stats"]
 
     def step(state: PixelState, batch, rng):
-        """batch: poses (B, T, full|conv), aud_feat (B, T, 64), speaker (B,)."""
-        poses = batch["poses"]
-        conv = poses[..., c_index] if poses.shape[-1] == full_dim else poses
-        tokens = jax.lax.stop_gradient(encode_tokens(conv))
+        """batch: poses (B, T, full|conv), aud_feat (B, T, 64), speaker (B,);
+        optional precomputed 'tokens' (B, T/4, 2) skips the frozen-VQ encode
+        (see make_token_encoder — bit-identical, the encoder is frozen)."""
+        if "tokens" in batch:
+            tokens = batch["tokens"]
+        else:
+            poses = batch["poses"]
+            conv = poses[..., c_index] if poses.shape[-1] == full_dim else poses
+            tokens = jax.lax.stop_gradient(encode_tokens(conv))
         (ce, new_audio_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, tokens, batch["aud_feat"],
             batch["speaker"], rng)

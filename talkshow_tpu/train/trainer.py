@@ -85,6 +85,13 @@ class Trainer:
     batch_mode: str = "windows"   # "windows" | "face_clips"
     face_bucket_frames: int = 0   # >0: length-bucketed face batches
     face_batch_size: int = 1
+    #: jitted poses -> tokens through the frozen stage-1 VQs
+    #: (steps.make_token_encoder). When set, token grids are cached per
+    #: (clip, window-start) and fed to the step as batch['tokens'] — the
+    #: encoder is frozen and deterministic, so epochs 2+ skip its ~22% of
+    #: the pixel step's device time at identical numerics.
+    token_encoder: Any = None
+    _token_cache: dict = field(default_factory=dict)
 
     def setup(self, rng=None):
         os.makedirs(self.run_dir, exist_ok=True)
@@ -152,10 +159,23 @@ class Trainer:
                 batch_iter = self.dataset.batches(
                     self.config.train.batch_size, np_rng)
             for batch in batch_iter:
+                wkey = batch.pop("window_key", None)
                 batch = self._put_batch(
                     {k: v for k, v in batch.items()
                      if isinstance(v, np.ndarray) or np.isscalar(v)
                      or isinstance(v, (np.integer, np.floating))})
+                if self.token_encoder is not None and wkey is not None:
+                    keys = [tuple(map(int, k)) for k in wkey]
+                    if all(k in self._token_cache for k in keys):
+                        toks = np.stack([self._token_cache[k] for k in keys])
+                    else:
+                        # one extra encode dispatch on first sight of a
+                        # window; the step then skips its in-step encode,
+                        # so epoch 1 is ~cost-neutral and epochs 2+ save it
+                        toks = np.asarray(self.token_encoder(batch["poses"]))
+                        for k, t in zip(keys, toks):
+                            self._token_cache[k] = t
+                    batch["tokens"] = self._put_batch({"tokens": toks})["tokens"]
                 if self.needs_rng:
                     rng, sub = jax.random.split(rng)
                     self.state, metrics = self.step_fn(self.state, batch, sub)

@@ -50,9 +50,10 @@ def test_train_cli_synthetic(tmp_path, stage):
     assert os.path.isdir(str(tmp_path / "run"))
 
 
-def test_train_cli_face_synthetic(tmp_path):
+@pytest.mark.parametrize("precision", [[], ["--bf16"]])
+def test_train_cli_face_synthetic(tmp_path, precision):
     """Face stage: whole-clip raw-waveform batches (the reference's
-    config/face.json semantics)."""
+    config/face.json semantics); --bf16 covers the mixed-precision path."""
     cfgp = _write_config(str(tmp_path / "f.json"), "s2g_face",
                          extra_model={"encoder_choice": "faceformer",
                                       "model_type": "face"},
@@ -62,8 +63,28 @@ def test_train_cli_face_synthetic(tmp_path):
     cfg["Data"]["whole_video"] = True
     _json.dump(cfg, open(cfgp, "w"))
     r = _run(["scripts/train.py", "--config_file", cfgp, "--synthetic",
-              "--epochs", "1", "--run_dir", str(tmp_path / "run")],
+              "--epochs", "1", "--run_dir", str(tmp_path / "run")] + precision,
              timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "done; checkpoints" in r.stdout
+
+
+def test_train_cli_pixel_with_token_cache(tmp_path):
+    """Stage-1 -> stage-2 CLI chain: train a body VQ, then train the pixel
+    prior from its checkpoint with the default per-window frozen-token
+    cache (2 epochs so epoch 2 hits the cache)."""
+    cfgp = _write_config(str(tmp_path / "vq.json"), "s2g_body_vq")
+    run_vq = str(tmp_path / "vq_run")
+    r = _run(["scripts/train.py", "--config_file", cfgp, "--synthetic",
+              "--epochs", "1", "--run_dir", run_vq])
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpts = sorted(d for d in os.listdir(run_vq) if d.startswith("ckpt-"))
+    assert ckpts
+
+    cfgp2 = _write_config(str(tmp_path / "px.json"), "s2g_body_pixel")
+    r = _run(["scripts/train.py", "--config_file", cfgp2, "--synthetic",
+              "--epochs", "2", "--run_dir", str(tmp_path / "px_run"),
+              "--vq_ckpt", os.path.join(run_vq, ckpts[-1])])
     assert r.returncode == 0, r.stderr[-3000:]
     assert "done; checkpoints" in r.stdout
 

@@ -64,6 +64,171 @@ def test_body_pixel_step_runs_and_learns(tiny_vq):
     assert np.isfinite(float(m["grad"]))
 
 
+def test_pixel_step_precomputed_tokens_equivalent(tiny_vq):
+    """batch['tokens'] (the trainer's frozen-VQ token cache) must make the
+    step numerically identical to the in-step encode — the encoder is
+    frozen and deterministic."""
+    vq_body, vq_hand = tiny_vq
+    r = jax.random.split(jax.random.PRNGKey(11), 4)
+    st_b = vq_ops.init_vq_state(r[0], 64, 64)
+    st_h = vq_ops.init_vq_state(r[1], 64, 64)
+    vb = vq_body.init(r[2], jnp.zeros((1, W, 39)), st_b)
+    vh = vq_hand.init(r[3], jnp.zeros((1, W, 90)), st_h)
+    frozen_v = {"body": vb, "hand": vh}
+    frozen_s = {"body": st_b, "hand": st_h}
+
+    audio_enc = AudioEncoder(num_hiddens=32)
+    prior = GatedPixelCNN(input_dim=64, dim=16, n_layers=3, audio=True,
+                          audio_channels=32)
+    init_state, step = tsteps.make_body_pixel_step(
+        prior, audio_enc, vq_body, vq_hand, frozen_v, frozen_s)
+    state = init_state(jax.random.PRNGKey(2), window=W)
+    rng = np.random.default_rng(12)
+    batch = {
+        "poses": jnp.asarray(rng.standard_normal((4, W, 129)) * 0.1, jnp.float32),
+        "aud_feat": jnp.asarray(rng.standard_normal((4, W, 64)), jnp.float32),
+        "speaker": jnp.asarray([0, 1, 2, 3], jnp.int32),
+    }
+    enc = tsteps.make_token_encoder(vq_body, vq_hand, frozen_v, frozen_s)
+    key = jax.random.PRNGKey(13)
+    s1, m1 = step(state, batch, key)
+    s2, m2 = step(state, dict(batch, tokens=enc(batch["poses"])), key)
+    np.testing.assert_allclose(float(m1["ce_loss"]), float(m2["ce_loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_trainer_token_cache_matches_uncached(tmp_path):
+    """Trainer.token_encoder: 2 epochs with the per-window token cache end
+    in the same params as the uncached run (same seeds), and the cache is
+    actually populated."""
+    from talkshow_tpu.config import body_vq_config
+    from talkshow_tpu.data.dataset import synthetic_dataset
+    from talkshow_tpu.train.trainer import Trainer
+
+    cfg = body_vq_config()
+    cfg.train.batch_size = 4
+    cfg.train.epochs = 2
+    cfg.log.print_every = 50
+    cfg.log.save_every = 99
+    cfg.data.pose.generate_length = 16
+
+    vq_body = VQVAE(in_dim=39, num_hiddens=64)
+    vq_hand = VQVAE(in_dim=90, num_hiddens=64)
+    r = jax.random.split(jax.random.PRNGKey(21), 4)
+    st_b = vq_ops.init_vq_state(r[0], 64, 64)
+    st_h = vq_ops.init_vq_state(r[1], 64, 64)
+    vb = vq_body.init(r[2], jnp.zeros((1, 16, 39)), st_b)
+    vh = vq_hand.init(r[3], jnp.zeros((1, 16, 90)), st_h)
+    frozen_v = {"body": vb, "hand": vh}
+    frozen_s = {"body": st_b, "hand": st_h}
+    audio_enc = AudioEncoder(num_hiddens=32)
+    prior = GatedPixelCNN(input_dim=64, dim=16, n_layers=3, audio=True,
+                          audio_channels=32)
+
+    def run(use_cache, run_dir):
+        ds = synthetic_dataset(num_clips=2, frames=60)
+        ds.generate_length = 16
+        init_state, step = tsteps.make_body_pixel_step(
+            prior, audio_enc, vq_body, vq_hand, frozen_v, frozen_s)
+        enc = tsteps.make_token_encoder(vq_body, vq_hand, frozen_v, frozen_s) \
+            if use_cache else None
+        tr = Trainer(cfg, ds, init_state, step, needs_rng=True,
+                     run_dir=run_dir, token_encoder=enc).setup()
+        tr.train()
+        return tr
+
+    tr_c = run(True, str(tmp_path / "cached"))
+    tr_u = run(False, str(tmp_path / "uncached"))
+    assert len(tr_c._token_cache) > 0
+    for a, b in zip(jax.tree_util.tree_leaves(tr_c.state.params),
+                    jax.tree_util.tree_leaves(tr_u.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pixel_step_bf16_mixed_precision(tiny_vq):
+    """GatedPixelCNN(dtype=bf16): teacher-forced logits track the f32
+    program on the SAME params, and the train step keeps f32 master params
+    with a finite loss — the opt-in mixed-precision training path."""
+    vq_body, vq_hand = tiny_vq
+    r = jax.random.split(jax.random.PRNGKey(7), 4)
+    st_b = vq_ops.init_vq_state(r[0], 64, 64)
+    st_h = vq_ops.init_vq_state(r[1], 64, 64)
+    vb = vq_body.init(r[2], jnp.zeros((1, W, 39)), st_b)
+    vh = vq_hand.init(r[3], jnp.zeros((1, W, 90)), st_h)
+
+    kw = dict(input_dim=64, dim=16, n_layers=3, audio=True, audio_channels=32)
+    prior32 = GatedPixelCNN(**kw)
+    prior16 = GatedPixelCNN(dtype=jnp.bfloat16, **kw)
+    variables = prior32.init(jax.random.PRNGKey(8),
+                             jnp.zeros((1, 2, 2), jnp.int32),
+                             jnp.zeros((1,), jnp.int32),
+                             jnp.zeros((1, 2, 32)))
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, 64, (4, 2, 2)), jnp.int32)
+    label = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    audio = jnp.asarray(rng.standard_normal((4, 2, 32)), jnp.float32)
+    lg32 = prior32.apply(variables, tokens, label, audio)
+    lg16 = prior16.apply(variables, tokens, label, audio)
+    assert lg16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(lg16, np.float32), np.asarray(lg32),
+                               rtol=0, atol=0.05)
+
+    audio_enc = AudioEncoder(num_hiddens=32)
+    init_state, step = tsteps.make_body_pixel_step(
+        prior16, audio_enc, vq_body, vq_hand,
+        {"body": vb, "hand": vh}, {"body": st_b, "hand": st_h},
+        learning_rate=1e-3)
+    state = init_state(jax.random.PRNGKey(2), window=W)
+    assert all(x.dtype == jnp.float32 for x in
+               jax.tree_util.tree_leaves(state.params["prior"]))
+    batch = {
+        "poses": jnp.asarray(rng.standard_normal((4, W, 129)) * 0.1, jnp.float32),
+        "aud_feat": jnp.asarray(rng.standard_normal((4, W, 64)), jnp.float32),
+        "speaker": label,
+    }
+    key = jax.random.PRNGKey(3)
+    state, m0 = step(state, batch, key)
+    for i in range(15):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    assert float(m["ce_loss"]) < float(m0["ce_loss"])
+    assert np.isfinite(float(m["grad"]))
+    assert all(x.dtype == jnp.float32 for x in
+               jax.tree_util.tree_leaves(state.params["prior"]))
+
+
+def test_face_step_bf16_runs():
+    """make_face_step on a Wav2Vec2Config(dtype=bf16) model: loss finite
+    and decreasing, master params stay f32."""
+    from talkshow_tpu.models.face import FaceGenerator
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4,
+                         intermediate_size=64, conv_dim=(16, 16),
+                         conv_kernel=(10, 3), conv_stride=(5, 2),
+                         num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4,
+                         dtype=jnp.bfloat16)
+    face = FaceGenerator(wav2vec_cfg=cfg)
+    init_state, step = tsteps.make_face_step(face, learning_rate=1e-3, window=6)
+    state = init_state(jax.random.PRNGKey(0), samples_per_window=3200)
+    rng = np.random.default_rng(4)
+    batch = {
+        "waveform": jnp.asarray(rng.standard_normal((2, 3200)), jnp.float32),
+        "id_onehot": jnp.eye(4)[jnp.asarray([0, 1])],
+        "gt": jnp.asarray(rng.standard_normal((2, 6, 265)) * 0.1, jnp.float32),
+    }
+    key = jax.random.PRNGKey(5)
+    state, m0 = step(state, batch, key)
+    for i in range(5):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    assert float(m["loss"]) < float(m0["loss"])
+    assert all(x.dtype == jnp.float32 for x in
+               jax.tree_util.tree_leaves(state.params))
+
+
 def test_face_step_runs_and_freezes_cnn():
     from talkshow_tpu.models.face import FaceGenerator
     from talkshow_tpu.models.wav2vec import Wav2Vec2Config
