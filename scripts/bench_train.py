@@ -140,12 +140,14 @@ def main():
 
     # stage 3: face generator (full-size wav2vec base; heaviest training
     # compute in the system).  Reference trains batch 1 whole clips
-    # (config/face.json); we bench the bucketed batch the TPU trainer
-    # uses: 4 x 512-frame clips (~17 s each).
+    # (config/face.json); we bench the bucketed batch recommended for the
+    # TPU trainer (--face_bucket 512 --face_batch_size 8): throughput
+    # scales ~2x from B=4 to B=8 and regresses at B=16 (measured r3:
+    # 1356 / 2368 / 2195 motion-sec/s f32).
     from talkshow_tpu.models.face import FaceGenerator
 
     face = FaceGenerator()
-    Bf, Tf = 4, 512
+    Bf, Tf = 8, 512
     n = Tf * 16000 // 30
     init3, step3 = tsteps.make_face_step(face)
     st3 = init3(jax.random.PRNGKey(3), samples_per_window=n, window=Tf)

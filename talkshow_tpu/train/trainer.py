@@ -158,7 +158,11 @@ class Trainer:
             else:
                 batch_iter = self.dataset.batches(
                     self.config.train.batch_size, np_rng)
-            for batch in batch_iter:
+            # assemble the next batches on a background thread while the
+            # device runs the current step (order-preserving — training
+            # stays bit-reproducible)
+            from talkshow_tpu.utils import prefetch_iter
+            for batch in prefetch_iter(batch_iter, depth=2):
                 wkey = batch.pop("window_key", None)
                 batch = self._put_batch(
                     {k: v for k, v in batch.items()

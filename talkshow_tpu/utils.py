@@ -126,3 +126,35 @@ def cast_floats(tree, dtype=jnp.bfloat16, keep_norm_f32: bool = True):
             return x
         return x.astype(dtype)
     return jax.tree_util.tree_map_with_path(cast, tree)
+
+
+def prefetch_iter(iterable, depth: int = 2):
+    """Yield items of `iterable` while producing the NEXT `depth` items in
+    a background thread — overlaps host-side batch assembly (window
+    slicing, np.stack) with device compute. Order-preserving, so training
+    remains bit-reproducible; generator exceptions re-raise at the
+    consuming site."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END, _ERR = object(), object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put((_ERR, e))
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item

@@ -251,3 +251,26 @@ def test_multihost_helpers_single_process():
     assert g["x"].shape == (8, 3)
     from jax.sharding import PartitionSpec as P
     assert g["x"].sharding.spec == P("dp", None)
+
+
+def test_prefetch_iter_order_and_exceptions():
+    """Trainer's background batch prefetch: order-preserving and
+    generator exceptions surface at the consuming site."""
+    from talkshow_tpu.utils import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(100)), depth=3)) == list(range(100))
+    assert list(prefetch_iter(iter([]), depth=2)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("producer failed")
+
+    got = []
+    try:
+        for x in prefetch_iter(boom(), depth=2):
+            got.append(x)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "producer failed" in str(e)
+    assert got == [1, 2]
