@@ -109,6 +109,7 @@ def main():
     rep6d = cfg.data.pose.convert_to_6d
     scale = 2 if rep6d else 1
     token_encoder = None
+    batch_keys = None   # per-stage: keys the step reads; rest never uploads
     if name == "s2g_body_vq":
         from talkshow_tpu.models.vqvae import VQVAE
         vq_body = VQVAE(in_dim=39 * scale, num_hiddens=cfg.model.vq_num_hiddens,
@@ -118,6 +119,7 @@ def main():
         init_state, step = tsteps.make_body_vq_step(
             vq_body, vq_hand, cfg.train.generator_learning_rate, rep6d=rep6d)
         needs_rng = False
+        batch_keys = ("poses",)
     elif name == "s2g_body_pixel":
         from talkshow_tpu.models.pixelcnn import GatedPixelCNN
         from talkshow_tpu.models.vqvae import VQVAE, AudioEncoder
@@ -155,6 +157,7 @@ def main():
             token_encoder = tsteps.make_token_encoder(
                 vq_body, vq_hand, frozen_vars, frozen_states, rep6d=rep6d)
         needs_rng = True
+        batch_keys = ("poses", "aud_feat", "speaker")
     elif name == "s2g_face":
         from talkshow_tpu.models.face import FaceGenerator
         from talkshow_tpu.models.wav2vec import Wav2Vec2Config
@@ -172,6 +175,7 @@ def main():
         init_state, step = tsteps.make_body_ae_step(
             ae, cfg.train.generator_learning_rate)
         needs_rng = False
+        batch_keys = ("poses",)
     elif name == "s2g_LS3DCG":
         from talkshow_tpu.models.ls3dcg import (LS3DCGDiscriminator,
                                                 LS3DCGGenerator)
@@ -181,6 +185,7 @@ def main():
             cfg.train.keypoint_loss_weight, cfg.train.gan_loss_weight,
             window=cfg.data.pose.generate_length)
         needs_rng = False
+        batch_keys = ("poses", "expression", "aud_feat")
     else:
         raise SystemExit(f"unknown stage {name}")
 
@@ -188,7 +193,8 @@ def main():
                       run_dir=run_dir, batch_mode=batch_mode,
                       face_bucket_frames=args.face_bucket,
                       face_batch_size=args.face_batch_size,
-                      token_encoder=token_encoder).setup()
+                      token_encoder=token_encoder,
+                      batch_keys=batch_keys).setup()
     if args.resume:
         trainer.resume(args.resume)
     trainer.train(epochs=args.epochs)

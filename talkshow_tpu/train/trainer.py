@@ -92,6 +92,11 @@ class Trainer:
     #: the pixel step's device time at identical numerics.
     token_encoder: Any = None
     _token_cache: dict = field(default_factory=dict)
+    #: keys of the batch dict the step actually reads (None = all). Unused
+    #: keys are dropped BEFORE host->device transfer — on a remote-attached
+    #: device the batch upload, not the step, dominates wall time, and
+    #: e.g. the body-VQ step reads only 'poses' of the ~15 MB batch.
+    batch_keys: tuple | None = None
 
     def setup(self, rng=None):
         os.makedirs(self.run_dir, exist_ok=True)
@@ -164,15 +169,22 @@ class Trainer:
             from talkshow_tpu.utils import prefetch_iter
             for batch in prefetch_iter(batch_iter, depth=2):
                 wkey = batch.pop("window_key", None)
-                batch = self._put_batch(
-                    {k: v for k, v in batch.items()
-                     if isinstance(v, np.ndarray) or np.isscalar(v)
-                     or isinstance(v, (np.integer, np.floating))})
-                if self.token_encoder is not None and wkey is not None:
+                batch = {k: v for k, v in batch.items()
+                         if (isinstance(v, np.ndarray) or np.isscalar(v)
+                             or isinstance(v, (np.integer, np.floating)))
+                         and (self.batch_keys is None or k in self.batch_keys)}
+                toks = None
+                use_cache = self.token_encoder is not None and wkey is not None
+                if use_cache:
                     keys = [tuple(map(int, k)) for k in wkey]
                     if all(k in self._token_cache for k in keys):
                         toks = np.stack([self._token_cache[k] for k in keys])
-                    else:
+                        # cached tokens replace poses entirely: skip the
+                        # poses upload too (the step never reads them)
+                        batch.pop("poses", None)
+                batch = self._put_batch(batch)
+                if use_cache:
+                    if toks is None:
                         # one extra encode dispatch on first sight of a
                         # window; the step then skips its in-step encode,
                         # so epoch 1 is ~cost-neutral and epochs 2+ save it
@@ -188,16 +200,19 @@ class Trainer:
                 self.global_step += 1
                 count += 1
                 for k, v in metrics.items():
-                    running[k] = running.get(k, 0.0) + float(v)
+                    # accumulate DEVICE scalars: float(v) here would force
+                    # a device->host sync every step and stall the
+                    # dispatch pipeline; readback happens at print time
+                    running[k] = running.get(k, 0.0) + v
                 if self.global_step % print_every == 0:
-                    avg = {k: v / count for k, v in running.items()}
+                    avg = {k: float(v) / count for k, v in running.items()}
                     msg = f"epoch {epoch} step {self.global_step} " + " ".join(
                         f"{k}={v:.4f}" for k, v in avg.items())
                     log.info(msg)
                     if log_cb:
                         log_cb(epoch, self.global_step, avg)
             self.epoch = epoch + 1
-            avg = {k: v / max(count, 1) for k, v in running.items()}
+            avg = {k: float(v) / max(count, 1) for k, v in running.items()}
             avg["epoch_seconds"] = time.time() - t0
             hbm = _device_memory_gb()
             if hbm is not None:
