@@ -94,11 +94,19 @@ def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
     """
     audio = encode_audio(models, mfcc_feat)                  # (B, H, 256)
     if use_fused is None:
-        from talkshow_tpu.models.pixelcnn_pallas import (MAX_FUSED_BATCH,
+        from talkshow_tpu.models.pixelcnn_pallas import (FUSED_VMEM_BUDGET,
+                                                         MAX_FUSED_BATCH,
+                                                         fused_vmem_bytes,
                                                          supports_fused)
         use_fused = (jax.default_backend() == "tpu"
                      and audio.shape[0] <= MAX_FUSED_BATCH
-                     and supports_fused(models.prior))
+                     and supports_fused(models.prior)
+                     # everything but the ~60 MB of weights scales with
+                     # H*Bp; very long clips x big batches must fall back
+                     # to the XLA sampler instead of failing VMEM alloc
+                     and fused_vmem_bytes(models.prior, audio.shape[1],
+                                          audio.shape[0])
+                     <= FUSED_VMEM_BUDGET)
     if use_fused:
         from talkshow_tpu.models.pixelcnn_pallas import sample_tokens_fused
         tokens = sample_tokens_fused(

@@ -80,6 +80,33 @@ def supports_fused(model) -> bool:
     return bool(model.bh_model) and model.dim % LANE == 0
 
 
+#: VMEM the compiler is allowed to use for the fused decode (v5e has
+#: 128 MB physical; leave headroom for compiler temporaries)
+FUSED_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def fused_vmem_bytes(model, H: int, B: int, *, return_logits: bool = False,
+                     noise: str = "prng") -> int:
+    """Analytic VMEM footprint of one fused decode: resident weight tables
+    + per-call conditioning + outputs + scratch.  Everything scales with
+    H*Bp except the ~60 MB of weights, so long clips / big batches can
+    exceed the budget — `generate_conv_poses` consults this and falls back
+    to the XLA sampler rather than hit a Mosaic allocation failure."""
+    L, dim, K = model.n_layers, model.dim, model.input_dim
+    D2, Kp, Bp = 2 * dim, _ceil_to(K, LANE), _ceil_to(max(B, 1), 8)
+    wb = 2  # bf16 tables
+    weights = ((9 * dim + D2) * D2 + (L - 1) * (6 * dim + D2) * D2
+               + L * D2 * 2 * D2 + L * D2 * D2 + 2 * D2 * D2
+               + dim * D2 + D2 * Kp + Kp * dim) * wb
+    per_call = (L * Bp * D2 + L * Bp * 2 * D2 + 2 * L * D2
+                + 2 * H * Bp * D2 + 8 * max(Kp, D2)) * 4
+    noise_b = (2 * H * Bp * Kp * 4) if noise == "input" else 8 * Kp * 4
+    outputs = H * Bp * LANE * 4 + (2 * H * Bp * Kp * 4 if return_logits
+                                   else 8 * Kp * 4)
+    scratch = (2 * L * Bp * 2 * D2 + Bp * 6 * dim + 2 * Bp * D2) * 4
+    return weights + per_call + noise_b + outputs + scratch
+
+
 # ---------------------------------------------------------------------------
 # Weight packing (label/audio independent; do once per loaded model)
 # ---------------------------------------------------------------------------
@@ -174,6 +201,7 @@ def pack_decode_tables(model, variables: Any, dtype=jnp.bfloat16) -> dict:
 
 def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
                  dtype, use_prng: bool, B: int, Bp: int, has_prefix: bool,
+                 emit_logits: bool = True,
                  ablate: frozenset = frozenset()):
     """`ablate` disables kernel stages for profiling (wrong numerics):
     'vert', 'v2h', 'horiz', 'pass2', 'head'.  See scripts/profile_decode.py.
@@ -243,7 +271,11 @@ def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
                 t = jnp.where(r < pref_ref[0], forced, t)
             oh = (jax.lax.broadcasted_iota(jnp.int32, (Bp, Kp), 1) == t)
             e = dot(oh.astype(dtype), emb_ref[...])            # (Bp, dim) f32
-            logit_ref[pl.ds((2 * r + j) * Bp, Bp), :] = logits
+            if emit_logits:
+                # skipped in production: the (2*H*Bp, Kp) f32 output block
+                # alone is ~40 MB at B=32/H=75 and would blow the VMEM
+                # budget for long clips (see fused_vmem_bytes)
+                logit_ref[pl.ds((2 * r + j) * Bp, Bp), :] = logits
             return t, e
 
         def horiz_pass(r, e_seed):
@@ -326,10 +358,10 @@ def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "prefix_len", "dtype", "interpret", "noise",
-                     "ablate"))
+                     "return_logits", "ablate"))
 def _sample_fused(model, tables, variables, label, audio, rng,
                   prefix_tokens, prefix_len, dtype, interpret,
-                  noise="prng", ablate=frozenset()):
+                  noise="prng", return_logits=True, ablate=frozenset()):
     p = variables["params"]
     L, dim, K = model.n_layers, model.dim, model.input_dim
     D2 = 2 * dim
@@ -387,13 +419,15 @@ def _sample_fused(model, tables, variables, label, audio, rng,
         tok_in = prefix_tokens.astype(jnp.int32)
 
     kernel = _make_kernel(H, L, dim, Kp, K, bool(model.audio), dtype,
-                          noise == "prng", B, Bp, prefix_len > 0, ablate)
+                          noise == "prng", B, Bp, prefix_len > 0,
+                          return_logits, ablate)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    logit_rows = 2 * H * Bp if return_logits else 8
     tok, logits = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((H * Bp, LANE), jnp.int32),
-                   jax.ShapeDtypeStruct((2 * H * Bp, Kp), f32)),
+                   jax.ShapeDtypeStruct((logit_rows, Kp), f32)),
         in_specs=[smem(), smem(), smem()] + [vmem()] * 17,
         out_specs=(vmem(), vmem()),
         scratch_shapes=[
@@ -412,6 +446,8 @@ def _sample_fused(model, tables, variables, label, audio, rng,
       tables["fvbd"], tables["fhbd"], tables["w1"], tables["w2"],
       tables["emb"])
     tok = tok.reshape(H, Bp, LANE)[:, :B, :2].swapaxes(0, 1)    # (B, H, 2)
+    if not return_logits:
+        return tok, None
     logits = (logits.reshape(H, 2, Bp, Kp)[:, :, :B, :K]
               .transpose(2, 0, 1, 3))                           # (B, H, 2, K)
     return tok, logits
@@ -452,5 +488,6 @@ def sample_tokens_fused(model, variables: Any, label: jnp.ndarray,
         tables = pack_decode_tables(model, variables, dtype=dtype)
     tok, logits = _sample_fused(model, tables, variables, label, audio, rng,
                                 prefix_tokens, int(prefix_len), dtype,
-                                bool(interpret), noise)
+                                bool(interpret), noise,
+                                bool(return_logits))
     return (tok, logits) if return_logits else tok

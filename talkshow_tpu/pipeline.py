@@ -179,9 +179,15 @@ class Pipeline:
         transposes ~60 MB of prior weights (~3 ms device) and must not be
         re-paid inside every generation program.  None off-TPU (the fused
         kernel is only auto-selected there)."""
-        if jax.default_backend() != "tpu" or not self.body.prior.bh_model:
+        from talkshow_tpu.models.pixelcnn_pallas import (pack_decode_tables,
+                                                         supports_fused)
+        # supports_fused (not just bh_model): pack_decode_tables raises for
+        # shapes the kernel can't lay out (dim not a LANE multiple — e.g.
+        # tiny test models), where generate_conv_poses correctly falls back
+        # to the XLA sampler and needs no tables.
+        if jax.default_backend() != "tpu" or not supports_fused(
+                self.body.prior):
             return None
-        from talkshow_tpu.models.pixelcnn_pallas import pack_decode_tables
         return jax.jit(
             lambda v: pack_decode_tables(self.body.prior, v))(
                 self.body.prior_vars)

@@ -156,3 +156,15 @@ def test_continuity_full_generate_and_prefix_carry(tmp_path, pipe):
                          continuity=True)
     assert cont.shape == plain.shape
     assert np.all(np.isfinite(cont))
+
+
+def test_decode_tables_none_for_unsupported_prior(monkeypatch, pipe):
+    """On a TPU backend, a prior the fused kernel can't lay out (dim 16 is
+    not a LANE multiple) must yield _decode_tables=None — the generation
+    path then falls back to the XLA sampler — rather than crash in
+    pack_decode_tables (which raises for unsupported shapes)."""
+    import talkshow_tpu.pipeline as pipeline_mod
+
+    fresh = Pipeline(pipe.face_model, pipe.face_vars, pipe.body)
+    monkeypatch.setattr(pipeline_mod.jax, "default_backend", lambda: "tpu")
+    assert fresh._decode_tables is None

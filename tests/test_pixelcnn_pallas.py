@@ -177,3 +177,29 @@ def test_generate_conv_poses_fused_route():
                                         use_fused=False)
     assert conv_f.shape == conv_x.shape == (1, 24, 129)
     assert np.isfinite(np.asarray(conv_f)).all()
+
+
+def test_fused_vmem_budget_gating():
+    """The analytic VMEM estimate must admit every production shape the
+    auto-select routes to the kernel and reject shapes that would fail
+    Mosaic allocation (the logits output alone is ~40 MB at B=32/H=75)."""
+    from talkshow_tpu.models.pixelcnn_pallas import (FUSED_VMEM_BUDGET,
+                                                     fused_vmem_bytes)
+
+    full = GatedPixelCNN()          # 2048 codes, dim 256, 15 layers
+    # standard 10 s clip (H=75) at the batch cap, production mode (no
+    # logits output): fits
+    assert fused_vmem_bytes(full, H=75, B=32) <= FUSED_VMEM_BUDGET
+    # the same shape WITH the full logits output blows the budget — which
+    # is why production skips emitting it
+    assert fused_vmem_bytes(full, H=75, B=32,
+                            return_logits=True) > FUSED_VMEM_BUDGET
+    # 60 s clip at the reference demo's num_sample=12 diversity: fits
+    assert fused_vmem_bytes(full, H=450, B=12) <= FUSED_VMEM_BUDGET
+    # absurdly long clips must fall back to the XLA sampler
+    assert fused_vmem_bytes(full, H=3000, B=32) > FUSED_VMEM_BUDGET
+    # monotone in H and B (sanity of the formula; batch rounds to
+    # sublane multiples, so compare across Bp boundaries)
+    assert (fused_vmem_bytes(full, H=150, B=16)
+            > fused_vmem_bytes(full, H=75, B=16)
+            > fused_vmem_bytes(full, H=75, B=8))
