@@ -98,11 +98,20 @@ class FaceGenerator(nn.Module):
         feature = self.audio_middle(feature, id_onehot, train, frame_mask)
         return self.heads(feature, train, frame_mask)
 
-    def from_features(self, hidden, id_onehot, train: bool = False):
-        """Head-only path for precomputed wav2vec features (B, T, 768)."""
+    def from_features(self, hidden, id_onehot, train: bool = False,
+                      valid_frames=None):
+        """Head-only path for precomputed wav2vec features (B, T, 768).
+        valid_frames mirrors __call__'s bucketed masking: padded frames are
+        zeroed through the conv middle/heads so real frames stay numerically
+        equal to the unpadded program (required by fused callers —
+        wav2vec_pallas.face_apply_fused)."""
         feature = self.audio_feature_map(hidden)
-        feature = self.audio_middle(feature, id_onehot, train)
-        return self.heads(feature, train)
+        frame_mask = None
+        if valid_frames is not None:
+            frame_mask = (jnp.arange(hidden.shape[1])[None, :, None]
+                          < valid_frames[:, None, None]).astype(feature.dtype)
+        feature = self.audio_middle(feature, id_onehot, train, frame_mask)
+        return self.heads(feature, train, frame_mask)
 
 
 def face_loss(pred, gt):

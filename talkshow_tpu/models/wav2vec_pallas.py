@@ -250,6 +250,7 @@ def face_apply_fused(face_model, face_vars, waveform, id_onehot,
                                   tables=tables["enc"], dtype=dtype,
                                   interpret=interpret)
     return face_model.apply(face_vars, hidden, id_onehot,
+                            valid_frames=valid_frames,
                             method=FaceGenerator.from_features)
 
 

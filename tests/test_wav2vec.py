@@ -162,6 +162,23 @@ def test_face_apply_fused_matches_flax():
                            dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    # masked/bucketed variant (B=2, second request padded): real frames
+    # must equal the flax masked program.  Regression: from_features once
+    # dropped the frame mask, so padded frames leaked into real frames
+    # through the conv middle/heads receptive field.
+    wavp = jnp.concatenate([wav, wav], 0).at[1, 9600:].set(0.0)
+    oh2 = jnp.zeros((2, 4))
+    vs = jnp.asarray([16000, 9600], jnp.int32)
+    vf = jnp.asarray([30, 18], jnp.int32)
+    ref_m = face.apply(fv, wavp, oh2, 30, valid_samples=vs, valid_frames=vf)
+    out_m = face_apply_fused(face, fv, wavp, oh2, 30,
+                             valid_samples=vs, valid_frames=vf,
+                             dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_m)[0, :30],
+                               np.asarray(ref_m)[0, :30], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_m)[1, :18],
+                               np.asarray(ref_m)[1, :18], atol=2e-5)
+
 
 @pytest.mark.parametrize("ks,ss,dims", [
     ((10, 3), (5, 2), (16, 16)),              # tiny: G=2
