@@ -152,7 +152,19 @@ class Trainer:
         save_every = self.config.log.save_every
 
         for epoch in range(self.epoch, epochs):
-            running: dict[str, float] = {}
+            running: dict[str, list] = {}
+            pending_cache: list = []    # (window keys, device tokens)
+
+            def drain_cache():
+                # tiny int32 grids; read back in bulk OFF the per-step
+                # critical path so epoch-1 cache misses never stall the
+                # dispatch pipeline (the encode result is only needed
+                # again next epoch)
+                for ks, td in pending_cache:
+                    for k, t in zip(ks, np.asarray(td)):
+                        self._token_cache[k] = t
+                pending_cache.clear()
+
             count = 0
             t0 = time.time()
             if self.batch_mode == "face_clips":
@@ -187,11 +199,17 @@ class Trainer:
                     if toks is None:
                         # one extra encode dispatch on first sight of a
                         # window; the step then skips its in-step encode,
-                        # so epoch 1 is ~cost-neutral and epochs 2+ save it
-                        toks = np.asarray(self.token_encoder(batch["poses"]))
-                        for k, t in zip(keys, toks):
-                            self._token_cache[k] = t
-                    batch["tokens"] = self._put_batch({"tokens": toks})["tokens"]
+                        # so epoch 1 is ~cost-neutral and epochs 2+ save
+                        # it.  The DEVICE array feeds the step directly;
+                        # the host copy for the cache is read back in
+                        # drain_cache (a blocking np.asarray here would
+                        # stall the dispatch pipeline every step)
+                        toks_dev = self.token_encoder(batch["poses"])
+                        batch["tokens"] = toks_dev
+                        pending_cache.append((keys, toks_dev))
+                    else:
+                        batch["tokens"] = self._put_batch(
+                            {"tokens": toks})["tokens"]
                 if self.needs_rng:
                     rng, sub = jax.random.split(rng)
                     self.state, metrics = self.step_fn(self.state, batch, sub)
@@ -200,19 +218,26 @@ class Trainer:
                 self.global_step += 1
                 count += 1
                 for k, v in metrics.items():
-                    # accumulate DEVICE scalars: float(v) here would force
-                    # a device->host sync every step and stall the
-                    # dispatch pipeline; readback happens at print time
-                    running[k] = running.get(k, 0.0) + v
+                    # LIST-append the device scalars: a device add here
+                    # (running + v) would launch an extra kernel per
+                    # metric per step (~1-2 ms device-visible dispatch
+                    # overhead each on a remote attach), and float(v)
+                    # would force a sync; both readback AND reduction
+                    # happen at print time instead
+                    running.setdefault(k, []).append(v)
                 if self.global_step % print_every == 0:
-                    avg = {k: float(v) / count for k, v in running.items()}
+                    avg = {k: float(jnp.stack(v).mean())
+                           for k, v in running.items()}
                     msg = f"epoch {epoch} step {self.global_step} " + " ".join(
                         f"{k}={v:.4f}" for k, v in avg.items())
                     log.info(msg)
                     if log_cb:
                         log_cb(epoch, self.global_step, avg)
+                    drain_cache()
             self.epoch = epoch + 1
-            avg = {k: float(v) / max(count, 1) for k, v in running.items()}
+            drain_cache()
+            avg = {k: float(jnp.stack(v).mean()) if count else 0.0
+                   for k, v in running.items()}
             avg["epoch_seconds"] = time.time() - t0
             hbm = _device_memory_gb()
             if hbm is not None:
