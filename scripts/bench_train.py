@@ -19,11 +19,13 @@ import jax.numpy as jnp
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def timed_steps(step, state, batch, rng=None, K: int = 16,
+def timed_steps(step, state, batch, rng=None, K: int = 64,
                 jitter_key="poses"):
     """Device ms per training step, K steps CHAINED in one lax.scan
     dispatch (per-dispatch launch overhead on the remote-attached chip is
     ~2 ms — unchained loops overstate the step time; see CLAUDE.md).
+    Chained numbers still carry ~30/K ms of tunnel RTT each, so K >= 64
+    for fast steps; the ~60 ms face step uses K=32 (~1 ms bias).
 
     State threads through the scan (params change every iteration) and the
     batch's `jitter_key` array(s) are perturbed per iteration so
@@ -160,7 +162,7 @@ def main():
         "valid_samples": jnp.full((Bf,), n, jnp.int32),
         "valid_frames": jnp.full((Bf,), Tf, jnp.int32),
     }
-    ms = timed_steps(step3, st3, batch_f, rng=jax.random.PRNGKey(4), K=8,
+    ms = timed_steps(step3, st3, batch_f, rng=jax.random.PRNGKey(4), K=32,
                      jitter_key="waveform")
     out["face_step_ms"] = round(ms, 1)
     out["face_clips_per_sec"] = round(Bf / (ms / 1000), 2)
@@ -176,7 +178,7 @@ def main():
     face16 = FaceGenerator(wav2vec_cfg=Wav2Vec2Config(dtype=jnp.bfloat16))
     init3b, step3b = tsteps.make_face_step(face16)
     st3b = init3b(jax.random.PRNGKey(3), samples_per_window=n, window=Tf)
-    ms = timed_steps(step3b, st3b, batch_f, rng=jax.random.PRNGKey(4), K=8,
+    ms = timed_steps(step3b, st3b, batch_f, rng=jax.random.PRNGKey(4), K=32,
                      jitter_key="waveform")
     out["face_bf16_step_ms"] = round(ms, 1)
     out["face_bf16_motion_sec_per_sec"] = round(Bf * Tf / 30 / (ms / 1000), 1)

@@ -31,16 +31,29 @@ import jax
 import jax.numpy as jnp
 
 
-def chain_ms(fn, args, jitter_idx: int = 0, K: int = 32):
+def chain_ms(fn, args, jitter_idx=(0,), K: int = 128):
     """Device ms/iter of fn(*args) with args[jitter_idx] perturbed per
-    iteration, K iterations in ONE dispatch."""
+    iteration, K iterations in ONE dispatch.  EVERY array the measured
+    compute reads must be jittered (float: eps add; int: batch-axis roll)
+    or XLA hoists its dependent ops out of the scan as loop-invariant —
+    e.g. with only aud_feat jittered, the token embedding + pre-audio
+    layer-0 work of a fixed token grid hoists and fwd_ce reads low.
+    K=128 keeps the ~30 ms dispatch RTT under 0.25 ms/iter on these
+    ~2-3 ms components."""
+    if isinstance(jitter_idx, int):
+        jitter_idx = (jitter_idx,)
 
     @jax.jit
     def run_k(*args):
         def body(c, k):
             a = list(args)
-            x = a[jitter_idx]
-            a[jitter_idx] = x.at[(0,) * x.ndim].add(1e-9 * k[0].astype(x.dtype))
+            for ji in jitter_idx:
+                x = a[ji]
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    a[ji] = jnp.roll(x, k[0] % x.shape[0], axis=0)
+                else:
+                    a[ji] = x.at[(0,) * x.ndim].add(
+                        1e-9 * k[0].astype(x.dtype))
             out = fn(*a)
             s = sum(jnp.sum(jnp.asarray(o, jnp.float32))
                     for o in jax.tree_util.tree_leaves(out))
@@ -114,13 +127,15 @@ def main():
     tokens = encode_tokens(batch["poses"])
 
     def fwd_ce(prior):
-        def f(params, stats, aud, toks, key):
+        # every array (speaker, dropout key incl.) is an ARGUMENT — closed
+        # -over arrays become HLO constants (CLAUDE.md)
+        def f(aud, params, stats, toks, speaker, key):
             af, _ = audio_enc.apply({"params": params["audio"],
                                      "batch_stats": stats["audio"]},
                                     aud, True, mutable=["batch_stats"])
             import optax
             lg = prior.apply({"params": params["prior"]}, toks,
-                             batch["speaker"], af, True,
+                             speaker, af, True,
                              rngs={"dropout": key})
             return optax.softmax_cross_entropy_with_integer_labels(
                 lg.reshape(-1, lg.shape[-1]).astype(jnp.float32),
@@ -136,28 +151,28 @@ def main():
     sys.path.insert(0, os.path.dirname(__file__))
     from bench_train import timed_steps
     out["full_step_f32_ms"] = round(
-        timed_steps(step32, st32, batch, rng=key, K=32), 2)
+        timed_steps(step32, st32, batch, rng=key, K=64), 2)
     out["full_step_bf16_ms"] = round(
-        timed_steps(step16, st32, batch, rng=key, K=32), 2)
+        timed_steps(step16, st32, batch, rng=key, K=64), 2)
     # components: every array (params incl.) is a jit ARG — closed-over
     # arrays become HLO constants and run ~2.7x slower (CLAUDE.md).
     out["vq_encode_ms"] = round(chain_ms(
         lambda p: encode_tokens(p), (batch["poses"],)), 2)
-    out["fwd_ce_f32_ms"] = round(chain_ms(
-        lambda a, pr, st, t: fwd_ce(prior32)(pr, st, a, t, key),
-        (batch["aud_feat"], st32.params, st32.batch_stats, tokens)), 2)
-    out["fwd_ce_bf16_ms"] = round(chain_ms(
-        lambda a, pr, st, t: fwd_ce(prior16)(pr, st, a, t, key),
-        (batch["aud_feat"], st32.params, st32.batch_stats, tokens)), 2)
+    # jitter aud_feat AND the token grid (roll): tokens feed the embedding
+    # and all pre-audio layer-0 work, which would otherwise hoist
+    fwd_args = (batch["aud_feat"], st32.params, st32.batch_stats, tokens,
+                batch["speaker"], key)
+    out["fwd_ce_f32_ms"] = round(
+        chain_ms(fwd_ce(prior32), fwd_args, jitter_idx=(0, 3)), 2)
+    out["fwd_ce_bf16_ms"] = round(
+        chain_ms(fwd_ce(prior16), fwd_args, jitter_idx=(0, 3)), 2)
 
     # ---- flop split ------------------------------------------------------
     # return the WHOLE (state, metrics) so the backward+optimizer are not
     # dead-code-eliminated out of the costed program
     fl_step = flops_of(lambda s, b_, k: step32(s, b_, k), st32, batch, key)
     fl_vq = flops_of(encode_tokens, batch["poses"])
-    fl_fwd = flops_of(
-        lambda a, t: fwd_ce(prior32)(st32.params, st32.batch_stats, a, t, key),
-        batch["aud_feat"], tokens)
+    fl_fwd = flops_of(fwd_ce(prior32), *fwd_args)
     out["gflops"] = {"full_step": round(fl_step / 1e9, 1),
                      "vq_encode": round(fl_vq / 1e9, 1),
                      "prior_audio_fwd": round(fl_fwd / 1e9, 1),
