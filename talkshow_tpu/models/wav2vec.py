@@ -62,6 +62,7 @@ class ChannelGroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        dtype_in = x.dtype
         x = x.astype(jnp.float32)   # stats in f32 under bf16 compute
         if mask is not None:
             mask = mask.astype(jnp.float32)
@@ -73,7 +74,11 @@ class ChannelGroupNorm(nn.Module):
             mean = jnp.sum(x * mask, axis=1, keepdims=True) / n
             var = jnp.sum(((x - mean) ** 2) * mask, axis=1, keepdims=True) / n
         h = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return h * scale + bias
+        # back to the compute dtype: this is the LARGEST tensor in the
+        # network (the extractor L0 output, (B, 31999, 512)); returning it
+        # f32 under bf16 compute costs an extra f32 HBM round trip before
+        # layer 1 (~2x the whole-extractor traffic at B=8)
+        return (h * scale + bias).astype(dtype_in)
 
 
 def conv_valid_length(num_samples, cfg: Wav2Vec2Config):
