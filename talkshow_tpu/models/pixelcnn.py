@@ -268,17 +268,35 @@ class GatedPixelCNN(nn.Module):
         return self.head(x_h[:, None])[:, 0]
 
 
+#: precomputed-gumbel buffer cap for the sampler (bytes).  Below it, all
+#: 2H categorical draws are batched into ONE upfront threefry program; the
+#: in-scan draws they replace cost per-iteration kernel overhead (~10 ms
+#: of the ~16 ms B=1 decode on the remote-attached chip).  Above it (very
+#: long clips x big batches: the (H, 2, B, K) f32 block), fall back to the
+#: O(1)-memory per-row draws.
+NOISE_PRECOMPUTE_BUDGET = 256 * 1024 * 1024
+
+
 def sample_tokens_reference(model: GatedPixelCNN, variables: Any,
                             label: jnp.ndarray, audio: jnp.ndarray,
                             rng: jax.Array,
                             prefix_tokens: jnp.ndarray | None = None,
                             prefix_len: int = 0) -> jnp.ndarray:
-    """Straightforward cached sampler (full-row horizontal passes); kept as
-    the equivalence baseline for the optimized `sample_tokens`."""
+    """Cached sampler (full-row horizontal passes); the XLA fallback for
+    shapes the fused Pallas decoder rejects, and the CPU/test baseline.
+
+    Sampling noise: `jax.random.categorical(k, logits)` IS
+    `argmax(logits + gumbel(k, logits.shape))`, so the per-row draws are
+    precomputed in one batched gumbel over the SAME key splits — tokens
+    are bitwise identical to in-scan categorical calls (asserted in
+    tests/test_pixelcnn.py), but the ~2H tiny sequential threefry kernels
+    (~60 us launch overhead each inside the scan) collapse into one
+    program that runs before the scan."""
     B, H, _ = audio.shape
     W = 2
     dim = model.dim
     n_layers = model.n_layers
+    K = model.input_dim
     if prefix_tokens is None:
         prefix_tokens = jnp.zeros((B, H, W), jnp.int32)
 
@@ -288,28 +306,43 @@ def sample_tokens_reference(model: GatedPixelCNN, variables: Any,
     emb_hist0 = jnp.zeros((B, 3, W, dim), jnp.float32)
     v_prev0 = jnp.zeros((n_layers - 1, B, W, dim), jnp.float32)
     rngs = jax.random.split(rng, H)
+    precompute = H * W * B * K * 4 <= NOISE_PRECOMPUTE_BUDGET
+    if precompute:
+        # identical key tree to the in-scan path: row key -> split -> (r0,
+        # r1) -> gumbel of the full (B, K) logits shape
+        keys01 = jax.vmap(jax.random.split)(rngs)            # (H, 2, 2)
+        noise = jax.vmap(jax.vmap(
+            lambda k: jax.random.gumbel(k, (B, K))))(keys01)  # (H, 2, B, K)
+    else:
+        noise = jnp.zeros((H, W, 1, 1), jnp.float32)          # placeholder
 
     def step(carry, xs):
         emb_hist, v_prev = carry
-        aud_row, given_row, step_rng, row_idx = xs
+        aud_row, given_row, step_rng, noise_row, row_idx = xs
         h_vert_rows, v_prev = apply(GatedPixelCNN.row_step, emb_hist, v_prev,
                                     label, aud_row)
         teacher = row_idx < prefix_len
 
         r0, r1 = jax.random.split(step_rng)
+
+        def pick(r, g, logits):
+            if precompute:
+                return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+            return jax.random.categorical(r, logits).astype(jnp.int32)
+
         # column 0: placeholder row embedding (never read at col 0)
         row_emb = jnp.zeros((B, W, dim), jnp.float32)
         logits = apply(GatedPixelCNN.horiz_logits_row, h_vert_rows, row_emb,
                        label, aud_row)
         t0 = jnp.where(teacher, given_row[:, 0],
-                       jax.random.categorical(r0, logits[:, 0]).astype(jnp.int32))
+                       pick(r0, noise_row[0], logits[:, 0]))
         # column 1: re-run with column 0's sampled embedding in place
         e0 = apply(GatedPixelCNN.embed_tokens, t0)
         row_emb = row_emb.at[:, 0].set(e0)
         logits = apply(GatedPixelCNN.horiz_logits_row, h_vert_rows, row_emb,
                        label, aud_row)
         t1 = jnp.where(teacher, given_row[:, 1],
-                       jax.random.categorical(r1, logits[:, 1]).astype(jnp.int32))
+                       pick(r1, noise_row[1], logits[:, 1]))
 
         row_tokens = jnp.stack([t0, t1], axis=-1)           # (B, W)
         row_full_emb = apply(GatedPixelCNN.embed_tokens, row_tokens)
@@ -320,6 +353,7 @@ def sample_tokens_reference(model: GatedPixelCNN, variables: Any,
         jnp.swapaxes(audio, 0, 1),                 # (H, B, C)
         jnp.swapaxes(prefix_tokens, 0, 1),         # (H, B, W)
         rngs,
+        noise,                                     # (H, W, B, K) | placeholder
         jnp.arange(H),
     )
     _, rows = jax.lax.scan(step, (emb_hist0, v_prev0), xs)

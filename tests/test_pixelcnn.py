@@ -147,3 +147,30 @@ def test_sample_tokens_prefix_teacher_forcing(model_and_vars):
     out = sample_tokens(model, variables, label, audio, jax.random.PRNGKey(0),
                         prefix_tokens=prefix, prefix_len=h0)
     np.testing.assert_array_equal(np.asarray(out[:, :h0]), np.asarray(prefix[:, :h0]))
+
+
+def test_precomputed_noise_matches_inscan_categorical(model_and_vars,
+                                                      monkeypatch):
+    """The batched upfront gumbel (one threefry program) must produce
+    BITWISE the tokens of per-row in-scan `jax.random.categorical` calls:
+    categorical(k, logits) IS argmax(logits + gumbel(k, logits.shape)),
+    and both paths use the identical key tree (split(rng, H) then
+    split(row_key)).  Forcing the budget to 0 selects the in-scan path."""
+    import talkshow_tpu.models.pixelcnn as pc
+
+    model, variables = model_and_vars
+    B, H = 3, 7
+    rng = np.random.default_rng(23)
+    audio = jnp.asarray(rng.standard_normal((B, H, AUDC)), jnp.float32)
+    label = jnp.asarray([0, 2, 1], jnp.int32)
+    prefix = jnp.asarray(rng.integers(0, K, (B, H, 2)), jnp.int32)
+    for seed, plen in ((0, 0), (4, 0), (9, 3)):
+        k = jax.random.PRNGKey(seed)
+        t_pre = sample_tokens_reference(model, variables, label, audio, k,
+                                        prefix_tokens=prefix, prefix_len=plen)
+        monkeypatch.setattr(pc, "NOISE_PRECOMPUTE_BUDGET", 0)
+        t_scan = sample_tokens_reference(model, variables, label, audio, k,
+                                         prefix_tokens=prefix,
+                                         prefix_len=plen)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.asarray(t_pre), np.asarray(t_scan))
