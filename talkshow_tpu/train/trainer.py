@@ -226,7 +226,14 @@ class Trainer:
                     # happen at print time instead
                     running.setdefault(k, []).append(v)
                 if self.global_step % print_every == 0:
-                    avg = {k: float(jnp.stack(v).mean())
+                    # collapse each metric list to ONE device scalar: the
+                    # stack stays bounded (<= print_every + 1 elements)
+                    # and shape-stable across prints, instead of
+                    # re-stacking an epoch-long list (a NEW program —
+                    # i.e. a recompile — at every print)
+                    for k, v in running.items():
+                        running[k] = [jnp.stack(v).sum()]
+                    avg = {k: float(v[0]) / count
                            for k, v in running.items()}
                     msg = f"epoch {epoch} step {self.global_step} " + " ".join(
                         f"{k}={v:.4f}" for k, v in avg.items())
@@ -236,7 +243,7 @@ class Trainer:
                     drain_cache()
             self.epoch = epoch + 1
             drain_cache()
-            avg = {k: float(jnp.stack(v).mean()) if count else 0.0
+            avg = {k: float(jnp.stack(v).sum()) / count if count else 0.0
                    for k, v in running.items()}
             avg["epoch_seconds"] = time.time() - t0
             hbm = _device_memory_gb()
