@@ -61,7 +61,7 @@ def main():
             def step(c, k):
                 out = fn(k, *args)
                 return c, jax.tree_util.tree_map(
-                    lambda x: x.reshape(-1)[-1].astype(jnp.float32), out)
+                    lambda x: jnp.sum(x, dtype=jnp.float32), out)
             _, outs = jax.lax.scan(step, 0, jax.random.split(key, K))
             return outs
         r = run_k(r_sample, *fn_args)
