@@ -139,8 +139,14 @@ def main():
         def run_k(key, *args):
             def step(c, k):
                 out = fn(k, *args)
+                # Sum reducer: consumes EVERY output element (a single-element
+                # index invites DCE — e.g. the mfcc stage would collapse to
+                # its last frame) and fuses into the producer, unlike
+                # reshape(-1)[-1] which linearizes the tiled output at copy
+                # bandwidth each iteration.  See CLAUDE.md "microbenchmark
+                # TRAPS".
                 return c, jax.tree_util.tree_map(
-                    lambda x: x.reshape(-1)[-1].astype(jnp.float32), out)
+                    lambda x: jnp.sum(x, dtype=jnp.float32), out)
             _, outs = jax.lax.scan(step, 0, jax.random.split(key, K))
             return outs
         r = run_k(r_sample, *fn_args)

@@ -32,9 +32,15 @@ def _write_config(path, model_name, extra_model=None, batch=4, gen_len=16):
     return path
 
 
-def _run(args, timeout=900):
+def _run(args, timeout=1800):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # Share the suite's persistent compile cache (tests/.jax_cache): the
+    # subprocess pays full cold compiles otherwise — ~12 min per stage on a
+    # 1-core host, which blows any reasonable timeout under concurrent load.
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(__file__), ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     return subprocess.run([sys.executable] + args, capture_output=True,
                           text=True, timeout=timeout, env=env,
                           cwd="/root/repo")

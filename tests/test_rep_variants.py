@@ -66,7 +66,11 @@ def test_cli_eval_smoke(script, flags):
     env.update({k: v for k, v in os.environ.items()
                 if k not in ("JAX_PLATFORMS",)})
     env["JAX_PLATFORMS"] = "cpu"
+    # Share the suite's persistent compile cache (see test_cli_train._run).
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     r = subprocess.run([sys.executable, script] + flags, capture_output=True,
-                       text=True, timeout=600, env=env, cwd="/root/repo")
+                       text=True, timeout=1200, env=env, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "capacity_l1" in r.stdout
