@@ -129,12 +129,17 @@ def main():
         print(f"[bench +{time.perf_counter() - t_start:6.1f}s] {msg}",
               file=sys.stderr, flush=True)
 
-    def chain_ms(fn, *fn_args, K=64):
+    def chain_ms(fn, *fn_args, K=64, repeats=3):
         """fn(key, *fn_args); fn_args are jit ARGUMENTS.  Weights AND input
         arrays must not be closed over: closed-over arrays become HLO
         constants, which besides the remote-compile upload limit also run
         ~2.7x slower inside the scan (measured: body pipeline 6.9 ms with
-        closed-over weights vs 2.5 ms with weights as args; see CLAUDE.md)."""
+        closed-over weights vs 2.5 ms with weights as args; see CLAUDE.md).
+
+        Best of `repeats` chained runs: single chained runs on the remote
+        attach drift run-to-run (r3's published 5.19 ms device/0.91 ms
+        vq_decode re-measured at 4.89/0.42 with the identical program —
+        chip slow-phases, not code)."""
         @jax.jit
         def run_k(key, *args):
             def step(c, k):
@@ -151,10 +156,13 @@ def main():
             return outs
         r = run_k(r_sample, *fn_args)
         jax.tree_util.tree_map(np.asarray, r)
-        t0 = time.perf_counter()
-        r = run_k(jax.random.fold_in(r_sample, 1), *fn_args)
-        jax.tree_util.tree_map(np.asarray, r)
-        return (time.perf_counter() - t0) * 1000.0 / K
+        best = float("inf")
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            r = run_k(jax.random.fold_in(r_sample, 1 + i), *fn_args)
+            jax.tree_util.tree_map(np.asarray, r)
+            best = min(best, (time.perf_counter() - t0) * 1000.0 / K)
+        return best
 
     progress("latency + amortized done; chaining device_ms (K=64)")
     # Jitter the wav per iteration: with a loop-invariant input XLA hoists
@@ -206,40 +214,7 @@ def main():
         stage_ms[name] = chain_ms(fn, *fargs, K=64)
         progress(f"stage {name}: {stage_ms[name]:.2f} ms")
 
-    # ---- batched throughput: B clips in ONE program (the serving shape).
-    # The fused AR decoder carries the batch in its sublane axis (B<=32
-    # decodes cost ~one) and the wav2vec/audio stages amortize their
-    # per-op overhead over B, so per-clip device time drops well below
-    # the B=1 number.  This is the throughput a co-located server sees.
-    Bb = 8
-    wavB = jnp.tile(wav_dev[None], (Bb, 1))
-    onehotB = jnp.zeros((Bb, 4))
-    idsB = jnp.zeros((Bb,), jnp.int32)
-
-    def run_group(k, fv, bv, tb, w, onehot, ids):
-        b = body._replace(**bv)
-        w = w.at[0, 0].add(1e-9 * k[0].astype(w.dtype))   # hoist-proof
-        f = face.apply(fv, w, onehot, frames)
-        wav22 = jax.vmap(lambda x: audio_ops.resample(x, 16000, 22000))(w)
-        featB = jax.vmap(lambda x: audio_ops.mfcc(x, 22000, fps=30))(wav22)
-        conv, _ = generate_conv_poses(b, featB, ids, k, tables=tb)
-        return f, conv
-
-    progress(f"compiling + chaining batched group (B={Bb})")
-    group_ms = chain_ms(run_group, face_vars, body_vars, tables, wavB,
-                        onehotB, idsB, K=32)
-    batched_ms_per_clip = group_ms / Bb
-    progress(f"batched: {group_ms:.2f} ms/group, "
-             f"{batched_ms_per_clip:.3f} ms/clip")
-
-    # ---- MFU: XLA-visible FLOPs + analytic FLOPs of the Pallas decode ---
-    try:
-        ca = run_clip_impl.lower(face_vars, body_vars, tables, wav_dev,
-                                 r_sample).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        xla_flops = float(ca.get("flops", 0.0))
-    except Exception:
-        xla_flops = 0.0
+    # ---- analytic FLOPs of the Pallas decode (XLA cannot see into it) ---
     m = body.prior
     dim, L, K_cb = m.dim, m.n_layers, m.input_dim
     H = audio_cond.shape[1]
@@ -248,7 +223,59 @@ def main():
                 + 2 * L * (2 * dim * 4 * dim + 2 * dim * 2 * dim)  # horiz
                 + 3 * 2 * dim * 2 * dim              # fusions
                 + 2 * (dim * 2 * dim + 2 * dim * K_cb + K_cb * dim))  # head+emb
-    decode_flops = 2.0 * macs_row * H
+    decode_flops = 2.0 * macs_row * H  # per clip
+
+    def xla_flops_of(jitted, *args):
+        try:
+            ca = jitted.lower(*args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    # ---- batched throughput: B clips in ONE program (the serving shape).
+    # The fused AR decoder carries the batch in its sublane axis (B<=32
+    # decodes cost ~one) and the wav2vec/audio stages amortize their
+    # per-op overhead over B, so per-clip device time drops well below
+    # the B=1 number.  This is the throughput a co-located server sees.
+    def run_group(k, fv, bv, tb, w, onehot, ids):
+        b = body._replace(**bv)
+        w = w * (1 + 1e-9 * k[0].astype(w.dtype))   # hoist-proof, fused
+        f = face.apply(fv, w, onehot, frames)
+        wav22 = jax.vmap(lambda x: audio_ops.resample(x, 16000, 22000))(w)
+        featB = jax.vmap(lambda x: audio_ops.mfcc(x, 22000, fps=30))(wav22)
+        conv, _ = generate_conv_poses(b, featB, ids, k, tables=tb)
+        return f, conv
+
+    batched = []
+    for Bb in ((8, 16, 32) if jax.default_backend() == "tpu" else (8,)):
+        wavB = jnp.tile(wav_dev[None], (Bb, 1))
+        onehotB = jnp.zeros((Bb, 4))
+        idsB = jnp.zeros((Bb,), jnp.int32)
+        progress(f"compiling + chaining batched group (B={Bb})")
+        try:
+            group_ms = chain_ms(run_group, face_vars, body_vars, tables,
+                                wavB, onehotB, idsB, K=32, repeats=2)
+        except Exception as e:  # a batch size that fails to compile
+            progress(f"batched B={Bb} failed: {type(e).__name__}")
+            continue
+        gflops = (xla_flops_of(
+            jax.jit(run_group), r_sample, face_vars, body_vars, tables,
+            wavB, onehotB, idsB) + decode_flops * Bb)
+        batched.append({
+            "batch": Bb,
+            "device_ms_per_clip": round(group_ms / Bb, 3),
+            "device_ms_per_group": round(group_ms, 2),
+            "motion_sec_per_sec_per_chip": round(
+                CLIP_SECONDS * Bb / (group_ms / 1000.0), 1),
+            "mfu": round(gflops / (group_ms / 1e3) / V5E_BF16_PEAK_FLOPS, 5),
+        })
+        progress(f"batched: {group_ms:.2f} ms/group, "
+                 f"{group_ms / Bb:.3f} ms/clip, mfu={batched[-1]['mfu']:.3f}")
+
+    # ---- MFU: XLA-visible FLOPs + analytic FLOPs of the Pallas decode ---
+    xla_flops = xla_flops_of(run_clip_impl, face_vars, body_vars, tables,
+                             wav_dev, r_sample)
     total_flops = xla_flops + decode_flops
     mfu = total_flops / (device_ms / 1e3) / V5E_BF16_PEAK_FLOPS
 
@@ -261,13 +288,8 @@ def main():
             "device_ms_per_clip": round(device_ms, 2),
             "motion_sec_per_sec_per_chip": round(motion_sec_per_sec, 2),
             "stage_ms": {k: round(v, 3) for k, v in stage_ms.items()},
-            "batched": {
-                "batch": Bb,
-                "device_ms_per_clip": round(batched_ms_per_clip, 3),
-                "device_ms_per_group": round(group_ms, 2),
-                "motion_sec_per_sec_per_chip": round(
-                    CLIP_SECONDS / (batched_ms_per_clip / 1000.0), 1),
-            },
+            "batched": batched[0] if batched else None,
+            "batched_sweep": batched,
             "mfu": round(mfu, 5),
             "flops_per_clip": round(total_flops / 1e9, 2),
             "amortized_ms_per_clip": round(amortized_ms, 2),

@@ -267,7 +267,8 @@ def _make_kernel(H: int, L: int, dim: int, Kp: int, K: int, use_audio: bool,
                 sub = jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0)
                 forced = jnp.zeros((Bp, 1), jnp.int32)
                 for b in range(B):
-                    forced = jnp.where(sub == b, tokin_ref[b, r, j], forced)
+                    forced = jnp.where(sub == b, tokin_ref[b, 2 * r + j],
+                                       forced)
                 t = jnp.where(r < pref_ref[0], forced, t)
             oh = (jax.lax.broadcasted_iota(jnp.int32, (Bp, Kp), 1) == t)
             e = dot(oh.astype(dtype), emb_ref[...])            # (Bp, dim) f32
@@ -413,10 +414,15 @@ def _sample_fused(model, tables, variables, label, audio, rng,
                      constant_values=-1e30)
     else:                      # "prng": in-kernel hardware gumbel-argmax
         gn = jnp.zeros((8, Kp), jnp.float32)
-    if prefix_tokens is None:
-        tok_in = jnp.zeros((B, H, 2), jnp.int32)
+    if prefix_tokens is None or prefix_len <= 0:
+        # dummy: the kernel is specialized on has_prefix and never reads it
+        tok_in = jnp.zeros((1, 2), jnp.int32)
     else:
-        tok_in = prefix_tokens.astype(jnp.int32)
+        # (B, H, 2) -> (B, 2H): a 3-D SMEM operand pads its minor dim to
+        # the 128-lane width, so the (32, 75, 2) prefix grid alone was
+        # 1.25 MB — over the 1 MB SMEM and the actual B=32 failure mode
+        # (the VMEM footprint was fine).  2-D keeps it at B*2H words.
+        tok_in = prefix_tokens.astype(jnp.int32).reshape(B, 2 * H)
 
     kernel = _make_kernel(H, L, dim, Kp, K, bool(model.audio), dtype,
                           noise == "prng", B, Bp, prefix_len > 0,
