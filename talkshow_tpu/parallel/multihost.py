@@ -6,6 +6,11 @@ runtime, build a global (dp, tp) mesh over all hosts' devices, and feed
 per-host data shards through `make_global_batch` (host-local arrays ->
 one globally-sharded array, collectives ride ICI within a slice and DCN
 across slices only for the dp all-reduce).
+
+Exercised end-to-end by tests/test_multihost.py: two real JAX processes
+(localhost coordinator, 4 virtual CPU devices each) run dp-sharded
+body-VQ train steps through `global_mesh` + `make_global_batch` and
+assert the globally-reduced loss is identical on both hosts.
 """
 from __future__ import annotations
 
