@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Post-training eval battery for the full-schedule run (EVAL_r04.json).
+
+Loads the four checkpoints produced by scripts/train_full_schedule.py
+(body-VQ, body-pixel prior, face, body-AE) at the reference widths, and on
+the held-out test split computes the reference's metric suite
+(scripts/test_vq.py / test_body.py / test_face.py semantics via
+talkshow_tpu.eval.runners):
+
+  * VQ round-trip capacity L1
+  * FGD (with the SELF-TRAINED body-AE extractor), feature MAE, L2,
+    diversity for the trained pipeline AND for a random-init prior baseline
+    (same frozen VQs) — the trained pipeline must beat the baseline
+  * face jaw-L1 / expression-MSE, vs a random-init face baseline
+
+plus a training-run summary read from each stage's history.json: first/last
+headline losses, convergence check, total nonfinite-skip events, and
+sustained throughput over the whole run (windows/s incl. the host
+pipeline — NOT a chained microbenchmark).
+
+SMPL-X-space metrics (LVD/BC) stay off: the licensed SMPLX npz asset is not
+bundled (eval.runners gates them on a loaded SmplxModel).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF_CFG = "/root/reference/config"
+
+
+def summarize_history(run_root: str) -> dict:
+    keys = {"body_vq": "body_rec", "body_pixel": "ce_loss",
+            "face": "loss", "body_ae": "rec_loss", "ls3dcg": "body_loss"}
+    out = {}
+    for stage, key in keys.items():
+        path = os.path.join(run_root, stage, "history.json")
+        if not os.path.exists(path):
+            continue
+        hist = json.load(open(path))
+        ys = [e[key] for e in hist if key in e]
+        secs = [e.get("epoch_seconds", 0.0) for e in hist]
+        skips = [e.get("nonfinite_skips", 0.0) for e in hist]
+        n = len(ys)
+        out[stage] = {
+            "epochs": n,
+            "first": round(ys[0], 5), "last": round(ys[-1], 5),
+            "min": round(min(ys), 5),
+            "improved": bool(ys[-1] < ys[0]),
+            # convergence: last-quartile mean vs first-quartile mean
+            "late_over_early": round(
+                (sum(ys[-max(1, n // 4):]) / max(1, n // 4))
+                / max(1e-9, sum(ys[:max(1, n // 4)]) / max(1, n // 4)), 4),
+            "nonfinite_skips_final": int(skips[-1]) if skips else 0,
+            "total_wall_s": round(sum(secs), 1),
+            "mean_epoch_s": round(sum(secs) / max(1, n), 2),
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", default="experiments/r04_data")
+    ap.add_argument("--run_root", default="experiments/r04_schedule")
+    ap.add_argument("--last_epoch", type=int, default=99)
+    ap.add_argument("--num_samples", type=int, default=2)
+    ap.add_argument("--out", default="EVAL_r04.json")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+
+    from talkshow_tpu.config import Config
+    from talkshow_tpu.data.dataset import ShowDataset
+    from talkshow_tpu.eval.runners import (eval_body, eval_face,
+                                           eval_vq_capacity)
+    from talkshow_tpu.models.body import BodyModels
+    from talkshow_tpu.models.face import FaceGenerator
+    from talkshow_tpu.models.pixelcnn import GatedPixelCNN
+    from talkshow_tpu.models.vqvae import AE, VQVAE, AudioEncoder
+    from talkshow_tpu.train import steps as tsteps
+    from talkshow_tpu.train.trainer import load_checkpoint
+
+    speakers = ["oliver", "chemistry", "seth", "conan"]
+    cfg = Config.from_reference_json(f"{REF_CFG}/body_pixel.json")
+
+    def restore(stage: str, like):
+        path = os.path.join(args.run_root, stage, f"ckpt-{args.last_epoch}")
+        if not os.path.isdir(path):   # fall back to the newest checkpoint
+            cands = sorted(d for d in os.listdir(
+                os.path.join(args.run_root, stage)) if d.startswith("ckpt-"))
+            path = os.path.join(args.run_root, stage, cands[-1])
+        return load_checkpoint(path, {"state": like, "epoch": 0,
+                                      "global_step": 0})["state"]
+
+    rng = jax.random.PRNGKey(0)
+    W = cfg.data.pose.generate_length
+
+    # ---- stage models at the exact widths scripts/train.py builds ----
+    vq_body = VQVAE(in_dim=39, num_hiddens=cfg.model.vq_num_hiddens,
+                    embedding_dim=cfg.model.vq_embedding_dim)
+    vq_hand = VQVAE(in_dim=90, num_hiddens=cfg.model.vq_num_hiddens,
+                    embedding_dim=cfg.model.vq_embedding_dim)
+    init_vq, _ = tsteps.make_body_vq_step(vq_body, vq_hand)
+    st1 = restore("body_vq", init_vq(rng, window=W))
+    frozen_vars = {k: {"params": st1.params[k],
+                       "batch_stats": st1.batch_stats[k]}
+                   for k in ("body", "hand")}
+
+    prior = GatedPixelCNN(input_dim=cfg.model.code_num,
+                          dim=cfg.model.pixelcnn_dim,
+                          n_layers=cfg.model.pixelcnn_layers,
+                          n_classes=cfg.model.num_speakers,
+                          bh_model=cfg.model.bh_model)
+    audio_enc = AudioEncoder(num_hiddens=256)
+    init_pix, _ = tsteps.make_body_pixel_step(
+        prior, audio_enc, vq_body, vq_hand, frozen_vars, st1.vq)
+    st2 = restore("body_pixel", init_pix(rng, window=W))
+
+    ae = AE(in_dim=129, num_hiddens=cfg.model.vq_num_hiddens)
+    init_ae, _ = tsteps.make_body_ae_step(ae)
+    st3 = restore("body_ae", init_ae(rng, window=W))
+    ae_vars = {"params": st3.params, "batch_stats": st3.batch_stats}
+
+    face = FaceGenerator()
+    init_face, _ = tsteps.make_face_step(face, window=W)
+    stf = restore("face", init_face(rng, window=W))
+
+    # ---- datasets (test split; mfcc for body, raw for face) ----
+    ds = ShowDataset.from_root(
+        args.data_root, speakers, "test", feat="mfcc",
+        cache_pkl=os.path.join(args.data_root, "test_eval_mfcc.pkl"),
+        generate_length=W)
+    ds_raw = ShowDataset.from_root(
+        args.data_root, speakers, "test", feat="raw",
+        cache_pkl=os.path.join(args.data_root, "test_eval_raw.pkl"),
+        generate_length=W)
+    print(f"test clips: {len(ds.clips)}")
+
+    def body_models(prior_vars, audio_vars):
+        return BodyModels(vq_body, vq_hand,
+                          frozen_vars["body"], frozen_vars["hand"],
+                          st1.vq["body"], st1.vq["hand"],
+                          audio_enc, audio_vars, prior, prior_vars)
+
+    trained = body_models({"params": st2.params["prior"]},
+                          {"params": st2.params["audio"],
+                           "batch_stats": st2.batch_stats["audio"]})
+    st2r = init_pix(jax.random.PRNGKey(123), window=W)   # random-init prior
+    baseline = body_models({"params": st2r.params["prior"]},
+                           {"params": st2r.params["audio"],
+                            "batch_stats": st2r.batch_stats["audio"]})
+
+    results = {"train_summary": summarize_history(args.run_root)}
+
+    results["vq_capacity"] = eval_vq_capacity(
+        vq_body, vq_hand, frozen_vars, st1.vq, ds)
+    print("capacity:", results["vq_capacity"], flush=True)
+
+    results["body_trained"] = eval_body(trained, ae, ae_vars, ds,
+                                        num_samples=args.num_samples)
+    print("body trained:", results["body_trained"], flush=True)
+    results["body_random_prior"] = eval_body(baseline, ae, ae_vars, ds,
+                                             num_samples=args.num_samples)
+    print("body random:", results["body_random_prior"], flush=True)
+    results["fgd_trained_beats_random"] = bool(
+        results["body_trained"]["fgd"] < results["body_random_prior"]["fgd"])
+
+    results["face_trained"] = eval_face(face, {"params": stf.params}, ds_raw)
+    stf_r = init_face(jax.random.PRNGKey(7), window=W)
+    results["face_random_init"] = eval_face(face, {"params": stf_r.params},
+                                            ds_raw)
+    results["face_trained_beats_random"] = bool(
+        results["face_trained"]["jaw_l1"]
+        < results["face_random_init"]["jaw_l1"])
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
