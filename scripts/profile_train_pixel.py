@@ -94,9 +94,10 @@ def main():
     audio_enc = AudioEncoder(num_hiddens=256)
     out = {}
 
-    def build(prior):
+    def build(prior, folded=False):
         init_s, step = tsteps.make_body_pixel_step(
-            prior, audio_enc, vq_body, vq_hand, frozen_vars, frozen_states)
+            prior, audio_enc, vq_body, vq_hand, frozen_vars, frozen_states,
+            folded=folded)
         return init_s(jax.random.PRNGKey(1), window=T), step
 
     # frozen stage-1 VQs (random init — cost is shape-determined)
@@ -113,6 +114,8 @@ def main():
     prior16 = GatedPixelCNN(dtype=jnp.bfloat16)
     st32, step32 = build(prior32)
     _, step16 = build(prior16)
+    _, step32f = build(prior32, folded=True)
+    _, step16f = build(prior16, folded=True)
 
     # ---- component callables --------------------------------------------
     def encode_tokens(poses):
@@ -154,6 +157,12 @@ def main():
         timed_steps(step32, st32, batch, rng=key, K=64), 2)
     out["full_step_bf16_ms"] = round(
         timed_steps(step16, st32, batch, rng=key, K=64), 2)
+    # column-folded forward (models/pixelcnn_folded.py): W=2 folded into
+    # lanes — the layout alternative for the 39%-MFU bandwidth analysis
+    out["full_step_f32_folded_ms"] = round(
+        timed_steps(step32f, st32, batch, rng=key, K=64), 2)
+    out["full_step_bf16_folded_ms"] = round(
+        timed_steps(step16f, st32, batch, rng=key, K=64), 2)
     # components: every array (params incl.) is a jit ARG — closed-over
     # arrays become HLO constants and run ~2.7x slower (CLAUDE.md).
     out["vq_encode_ms"] = round(chain_ms(
@@ -166,6 +175,26 @@ def main():
         chain_ms(fwd_ce(prior32), fwd_args, jitter_idx=(0, 3)), 2)
     out["fwd_ce_bf16_ms"] = round(
         chain_ms(fwd_ce(prior16), fwd_args, jitter_idx=(0, 3)), 2)
+
+    from talkshow_tpu.models.pixelcnn_folded import folded_logits
+
+    def fwd_ce_folded(prior):
+        def f(aud, params, stats, toks, speaker, key):
+            af, _ = audio_enc.apply({"params": params["audio"],
+                                     "batch_stats": stats["audio"]},
+                                    aud, True, mutable=["batch_stats"])
+            import optax
+            lg = folded_logits(prior, params["prior"], toks, speaker, af,
+                               train=True, dropout_rng=key)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                lg.reshape(-1, lg.shape[-1]).astype(jnp.float32),
+                toks.reshape(-1)).mean()
+        return f
+
+    out["fwd_ce_f32_folded_ms"] = round(
+        chain_ms(fwd_ce_folded(prior32), fwd_args, jitter_idx=(0, 3)), 2)
+    out["fwd_ce_bf16_folded_ms"] = round(
+        chain_ms(fwd_ce_folded(prior16), fwd_args, jitter_idx=(0, 3)), 2)
 
     # ---- flop split ------------------------------------------------------
     # return the WHOLE (state, metrics) so the backward+optimizer are not

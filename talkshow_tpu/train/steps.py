@@ -147,10 +147,15 @@ def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
                          frozen_vq_vars: dict, frozen_vq_states: dict,
                          learning_rate: float = 1e-4,
                          max_grad_norm: float = 5.0,
-                         rep6d: bool = False):
+                         rep6d: bool = False,
+                         folded: bool = False):
     """frozen_vq_vars: {'body': vars, 'hand': vars} of the stage-1 VQs.
     rep6d: the 6d variant (the reference then uses pixelcnn dim 512 /
-    10 layers — smplx_body_pixel.py:49-53; pass such a `prior`)."""
+    10 layers — smplx_body_pixel.py:49-53; pass such a `prior`).
+    folded: compute the teacher-forced forward with the column-folded
+    layout (models/pixelcnn_folded.py) — same canonical params, W=2 axis
+    folded into lanes; numerically equal logits in eval mode, dropout
+    draws a different (same-distribution) mask."""
     tx = skip_nonfinite_updates(optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adam(learning_rate, b1=0.9, b2=0.999),
@@ -180,8 +185,13 @@ def make_body_pixel_step(prior: GatedPixelCNN, audio_enc: AudioEncoder,
         audio_feat, updates = audio_enc.apply(
             {"params": params["audio"], "batch_stats": batch_stats["audio"]},
             aud, True, mutable=["batch_stats"])
-        logits = prior.apply({"params": params["prior"]}, tokens, speaker,
-                             audio_feat, True, rngs={"dropout": rng})
+        if folded:
+            from talkshow_tpu.models.pixelcnn_folded import folded_logits
+            logits = folded_logits(prior, params["prior"], tokens, speaker,
+                                   audio_feat, train=True, dropout_rng=rng)
+        else:
+            logits = prior.apply({"params": params["prior"]}, tokens, speaker,
+                                 audio_feat, True, rngs={"dropout": rng})
         # f32 softmax/CE even when the prior computes in bf16 (prior.dtype)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
