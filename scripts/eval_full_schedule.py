@@ -1,25 +1,26 @@
 #!/usr/bin/env python
-"""Post-training eval battery for the full-schedule run (EVAL_r04.json).
+"""Post-training eval battery for the full-schedule run (EVAL_r05.json).
 
-Loads the four checkpoints produced by scripts/train_full_schedule.py
-(body-VQ, body-pixel prior, face, body-AE) at the reference widths, and on
-the held-out test split computes the reference's metric suite
-(scripts/test_vq.py / test_body.py / test_face.py semantics via
-talkshow_tpu.eval.runners):
+Loads the checkpoints produced by scripts/train_full_schedule.py (body-VQ,
+body-pixel prior, face, body-AE, and — when trained — the LS3DCG baseline)
+at the reference widths, and on the held-out test split computes the
+reference's FULL metric suite (scripts/test_vq.py / test_body.py /
+test_face.py semantics via talkshow_tpu.eval.runners):
 
   * VQ round-trip capacity L1
   * FGD (with the SELF-TRAINED body-AE extractor), feature MAE, L2,
     diversity for the trained pipeline AND for a random-init prior baseline
     (same frozen VQs) — the trained pipeline must beat the baseline
+  * SMPL-X-space metrics through the real `smplx_forward_talkshow` LBS
+    path when --smplx_npz is given: LVD over the first 22 joints and
+    beat consistency for the body (test_body.py:157-194), vertex-space
+    face LVD (test_face.py:148-160).  The licensed SMPLX_NEUTRAL_2020.npz
+    is not bundled; scripts/make_synthetic_smplx.py writes a synthetic
+    rig in the same schema so these metrics publish real numbers.
   * face jaw-L1 / expression-MSE, vs a random-init face baseline
+  * LS3DCG per-part L1/MSE + FGD via the shared AE, vs random init
 
-plus a training-run summary read from each stage's history.json: first/last
-headline losses, convergence check, total nonfinite-skip events, and
-sustained throughput over the whole run (windows/s incl. the host
-pipeline — NOT a chained microbenchmark).
-
-SMPL-X-space metrics (LVD/BC) stay off: the licensed SMPLX npz asset is not
-bundled (eval.runners gates them on a loaded SmplxModel).
+plus a training-run summary read from each stage's history.json.
 """
 from __future__ import annotations
 
@@ -43,6 +44,8 @@ def summarize_history(run_root: str) -> dict:
             continue
         hist = json.load(open(path))
         ys = [e[key] for e in hist if key in e]
+        if not ys:   # partially-written / mismatched run: skip, don't crash
+            continue
         secs = [e.get("epoch_seconds", 0.0) for e in hist]
         skips = [e.get("nonfinite_skips", 0.0) for e in hist]
         n = len(ys)
@@ -67,8 +70,14 @@ def main():
     ap.add_argument("--data_root", default="experiments/r04_data")
     ap.add_argument("--run_root", default="experiments/r04_schedule")
     ap.add_argument("--last_epoch", type=int, default=99)
-    ap.add_argument("--num_samples", type=int, default=2)
-    ap.add_argument("--out", default="EVAL_r04.json")
+    ap.add_argument("--num_samples", type=int, default=4)
+    ap.add_argument("--smplx_npz", default="experiments/smplx_synthetic.npz",
+                    help="SMPL-X model npz enabling the joint/vertex-space "
+                         "metrics (LVD, BC, face LVD); '' disables")
+    ap.add_argument("--cache_tag", default="r05",
+                    help="eval-split pickle-cache tag (bump when the test "
+                         "split grows so stale caches are never reused)")
+    ap.add_argument("--out", default="EVAL_r05.json")
     args = ap.parse_args()
 
     import numpy as np
@@ -77,23 +86,34 @@ def main():
     from talkshow_tpu.config import Config
     from talkshow_tpu.data.dataset import ShowDataset
     from talkshow_tpu.eval.runners import (eval_body, eval_face,
-                                           eval_vq_capacity)
+                                           eval_ls3dcg, eval_vq_capacity)
     from talkshow_tpu.models.body import BodyModels
     from talkshow_tpu.models.face import FaceGenerator
     from talkshow_tpu.models.pixelcnn import GatedPixelCNN
     from talkshow_tpu.models.vqvae import AE, VQVAE, AudioEncoder
+    from talkshow_tpu.ops.smplx_lbs import load_smplx_npz
     from talkshow_tpu.train import steps as tsteps
     from talkshow_tpu.train.trainer import load_checkpoint
 
     speakers = ["oliver", "chemistry", "seth", "conan"]
     cfg = Config.from_reference_json(f"{REF_CFG}/body_pixel.json")
 
+    smplx_model = None
+    if args.smplx_npz and os.path.exists(args.smplx_npz):
+        smplx_model = load_smplx_npz(args.smplx_npz)
+        print(f"SMPL-X metrics ON ({args.smplx_npz}: "
+              f"{smplx_model.v_template.shape[0]} verts)")
+    else:
+        print("SMPL-X metrics OFF (no npz)")
+
     def restore(stage: str, like):
         path = os.path.join(args.run_root, stage, f"ckpt-{args.last_epoch}")
         if not os.path.isdir(path):   # fall back to the newest checkpoint
-            cands = sorted(d for d in os.listdir(
-                os.path.join(args.run_root, stage)) if d.startswith("ckpt-"))
-            path = os.path.join(args.run_root, stage, cands[-1])
+            cands = [d for d in os.listdir(os.path.join(args.run_root, stage))
+                     if d.startswith("ckpt-")]
+            # numeric sort: lexicographic puts ckpt-9 after ckpt-10..89
+            newest = max(cands, key=lambda d: int(d.split("-")[1]))
+            path = os.path.join(args.run_root, stage, newest)
         return load_checkpoint(path, {"state": like, "epoch": 0,
                                       "global_step": 0})["state"]
 
@@ -133,11 +153,13 @@ def main():
     # ---- datasets (test split; mfcc for body, raw for face) ----
     ds = ShowDataset.from_root(
         args.data_root, speakers, "test", feat="mfcc",
-        cache_pkl=os.path.join(args.data_root, "test_eval_mfcc.pkl"),
+        cache_pkl=os.path.join(args.data_root,
+                               f"test_eval_{args.cache_tag}_mfcc.pkl"),
         generate_length=W)
     ds_raw = ShowDataset.from_root(
         args.data_root, speakers, "test", feat="raw",
-        cache_pkl=os.path.join(args.data_root, "test_eval_raw.pkl"),
+        cache_pkl=os.path.join(args.data_root,
+                               f"test_eval_{args.cache_tag}_raw.pkl"),
         generate_length=W)
     print(f"test clips: {len(ds.clips)}")
 
@@ -155,28 +177,61 @@ def main():
                            {"params": st2r.params["audio"],
                             "batch_stats": st2r.batch_stats["audio"]})
 
-    results = {"train_summary": summarize_history(args.run_root)}
+    results = {"train_summary": summarize_history(args.run_root),
+               "num_test_clips": len(ds.clips),
+               "num_samples": args.num_samples,
+               "smplx": bool(smplx_model is not None)}
 
     results["vq_capacity"] = eval_vq_capacity(
         vq_body, vq_hand, frozen_vars, st1.vq, ds)
     print("capacity:", results["vq_capacity"], flush=True)
 
     results["body_trained"] = eval_body(trained, ae, ae_vars, ds,
-                                        num_samples=args.num_samples)
+                                        num_samples=args.num_samples,
+                                        smplx_model=smplx_model)
     print("body trained:", results["body_trained"], flush=True)
     results["body_random_prior"] = eval_body(baseline, ae, ae_vars, ds,
-                                             num_samples=args.num_samples)
+                                             num_samples=args.num_samples,
+                                             smplx_model=smplx_model)
     print("body random:", results["body_random_prior"], flush=True)
     results["fgd_trained_beats_random"] = bool(
         results["body_trained"]["fgd"] < results["body_random_prior"]["fgd"])
 
-    results["face_trained"] = eval_face(face, {"params": stf.params}, ds_raw)
+    results["face_trained"] = eval_face(face, {"params": stf.params}, ds_raw,
+                                        smplx_model=smplx_model)
     stf_r = init_face(jax.random.PRNGKey(7), window=W)
     results["face_random_init"] = eval_face(face, {"params": stf_r.params},
-                                            ds_raw)
+                                            ds_raw, smplx_model=smplx_model)
     results["face_trained_beats_random"] = bool(
         results["face_trained"]["jaw_l1"]
         < results["face_random_init"]["jaw_l1"])
+
+    # ---- LS3DCG baseline (when its schedule stage ran) ----
+    if os.path.isdir(os.path.join(args.run_root, "ls3dcg")):
+        from talkshow_tpu.models.ls3dcg import (LS3DCGDiscriminator,
+                                                LS3DCGGenerator)
+        gen, disc = LS3DCGGenerator(), LS3DCGDiscriminator()
+        init_ls, _ = tsteps.make_ls3dcg_step(gen, disc, window=W)
+        stl = restore("ls3dcg", init_ls(rng, window=W))
+        gv = {"params": stl.g_params, "batch_stats": stl.g_stats}
+        results["ls3dcg_trained"] = eval_ls3dcg(gen, gv, ae, ae_vars, ds)
+        print("ls3dcg trained:", results["ls3dcg_trained"], flush=True)
+        stl_r = init_ls(jax.random.PRNGKey(21), window=W)
+        gvr = {"params": stl_r.g_params, "batch_stats": stl_r.g_stats}
+        results["ls3dcg_random_init"] = eval_ls3dcg(gen, gvr, ae, ae_vars, ds)
+        print("ls3dcg random:", results["ls3dcg_random_init"], flush=True)
+        results["ls3dcg_trained_beats_random"] = bool(
+            results["ls3dcg_trained"]["body_l1"]
+            < results["ls3dcg_random_init"]["body_l1"]
+            and results["ls3dcg_trained"]["fgd"]
+            < results["ls3dcg_random_init"]["fgd"])
+
+    # ---- rep6d probe results (scripts/rep6d_probe.py), when present ----
+    rep6d_path = os.path.join(os.path.dirname(os.path.abspath(args.out)),
+                              "docs", f"{args.cache_tag}_schedule",
+                              "rep6d.json")
+    if os.path.exists(rep6d_path):
+        results["rep6d"] = json.load(open(rep6d_path))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -191,7 +191,27 @@ def main():
     p.add_argument("--train-seconds", type=float, default=29.0)
     p.add_argument("--eval-seconds", type=float, default=20.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--only-extra-test", type=int, default=0, metavar="N",
+                   help="append N extra TEST clips per speaker to an "
+                        "existing tree (train data untouched; grows the "
+                        "eval split for statistically meaningful FGD)")
     args = p.parse_args()
+
+    if args.only_extra_test:
+        rng = np.random.default_rng(args.seed + 20_000)
+        for si, sp in enumerate(SPEAKERS):
+            tdir = os.path.join(args.root, sp, "vid1", "test")
+            have = len([d for d in os.listdir(tdir)
+                        if d.startswith("clip")]) if os.path.isdir(tdir) else 0
+            for ci in range(have, have + args.only_extra_test):
+                # fixed length (matches the original test clips): every
+                # distinct clip length costs a fresh jit compile at eval
+                frames = int(args.eval_seconds * FPS)
+                pkl, wav_x = synth_clip(rng, si, frames)
+                write_clip(os.path.join(tdir, f"clip{ci:02d}"), pkl, wav_x)
+        print(f"appended {args.only_extra_test} test clips per speaker "
+              f"under {args.root}")
+        return
 
     rng = np.random.default_rng(args.seed)
     total = 0.0

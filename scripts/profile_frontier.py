@@ -72,18 +72,21 @@ def main():
                 jnp.float32)
             ids = jnp.zeros((B,), jnp.int32)
 
+            # weights/tables MUST be jit args, never closures: closed-over
+            # arrays become HLO constants (~2.7x slower + HTTP 413 risk on
+            # axon remote compile — CLAUDE.md).
             if admitted:
-                def fn(key, aud, ids=ids):
-                    return sample_tokens_fused(models.prior,
-                                               models.prior_vars, ids, aud,
-                                               key, tables=tables)
+                def fn(key, aud, pv, ids_, tb):
+                    return sample_tokens_fused(models.prior, pv, ids_, aud,
+                                               key, tables=tb)
+                extra = (models.prior_vars, ids, tables)
             else:
-                def fn(key, aud, ids=ids):
-                    return sample_tokens(models.prior, models.prior_vars,
-                                         ids, aud, key)
+                def fn(key, aud, pv, ids_):
+                    return sample_tokens(models.prior, pv, ids_, aud, key)
+                extra = (models.prior_vars, ids)
             try:
-                ms = chain_ms(fn, (audio,), K=16 if H > 150 or not admitted
-                              else 32)
+                ms = chain_ms(fn, (audio,) + extra,
+                              K=16 if H > 150 or not admitted else 32)
                 cell = {"B": B, "H": H, "vmem_mb": round(vmem / 2**20, 1),
                         "fused": admitted, "ms": round(ms, 2),
                         "ms_per_clip": round(ms / B, 3)}

@@ -71,6 +71,12 @@ def main():
     ap.add_argument("--stages", nargs="+",
                     default=["body_vq", "body_pixel", "face", "body_ae",
                              "eval"])
+    ap.add_argument("--tag", default="r05",
+                    help="round tag: publishes docs/<tag>_schedule and "
+                         "EVAL_<tag>.json")
+    ap.add_argument("--smplx_npz", default="experiments/smplx_synthetic.npz",
+                    help="SMPL-X npz for the eval battery's joint/vertex "
+                         "metrics (auto-generated synthetically if missing)")
     args = ap.parse_args()
     epochs = 2 if args.smoke else args.epochs   # None -> config (100)
 
@@ -90,7 +96,14 @@ def main():
 
     py = sys.executable
     ep = ([] if epochs is None else ["--epochs", str(epochs)])
-    last_epoch = (epochs if epochs is not None else 100) - 1
+
+    def cfg_epochs(cfg_path: str) -> int:
+        """Train.epochs from the stage config — never assume 100."""
+        with open(cfg_path) as f:
+            return int(json.load(f)["Train"]["epochs"])
+
+    def stage_last_epoch(cfg_path: str) -> int:
+        return (epochs if epochs is not None else cfg_epochs(cfg_path)) - 1
 
     def train(stage, cfg, extra):
         rd = os.path.join(args.run_root, stage)
@@ -104,7 +117,9 @@ def main():
     if "body_vq" in args.stages:
         train("body_vq", f"{REF_CFG}/body_vq.json", [])
     if "body_pixel" in args.stages:
-        vq_ckpt = os.path.join(args.run_root, "body_vq", f"ckpt-{last_epoch}")
+        vq_ckpt = os.path.join(
+            args.run_root, "body_vq",
+            f"ckpt-{stage_last_epoch(f'{REF_CFG}/body_vq.json')}")
         train("body_pixel", f"{REF_CFG}/body_pixel.json",
               ["--vq_ckpt", vq_ckpt, "--bf16"])
     if "face" in args.stages:
@@ -118,17 +133,24 @@ def main():
         train("ls3dcg", f"{REF_CFG}/LS3DCG.json", [])
 
     if "eval" in args.stages:
+        if args.smplx_npz and not os.path.exists(args.smplx_npz):
+            run([py, "scripts/make_synthetic_smplx.py",
+                 "--out", args.smplx_npz],
+                os.path.join(args.run_root, "eval.log"))
         mark("eval", state="running", t0=time.time())
         dt = run([py, "scripts/eval_full_schedule.py",
                   "--data_root", args.data_root,
                   "--run_root", args.run_root,
-                  "--last_epoch", str(last_epoch),
-                  "--out", os.path.join(REPO, "EVAL_r04.json")],
+                  "--last_epoch",
+                  str(stage_last_epoch(f"{REF_CFG}/body_pixel.json")),
+                  "--smplx_npz", args.smplx_npz,
+                  "--cache_tag", args.tag,
+                  "--out", os.path.join(REPO, f"EVAL_{args.tag}.json")],
                  os.path.join(args.run_root, "eval.log"))
         mark("eval", state="done", wall_s=round(dt, 1))
 
     # ---- publish committed artifacts ----
-    pub = os.path.join(REPO, "docs", "r04_schedule")
+    pub = os.path.join(REPO, "docs", f"{args.tag}_schedule")
     os.makedirs(pub, exist_ok=True)
     for stage in ("body_vq", "body_pixel", "face", "body_ae", "ls3dcg"):
         h = os.path.join(args.run_root, stage, "history.json")

@@ -25,10 +25,12 @@ from talkshow_tpu.models.vqvae import VQVAE
 from talkshow_tpu.ops import audio as audio_ops
 from talkshow_tpu.ops import pose as pose_ops
 from talkshow_tpu.ops import smplx_lbs
-from talkshow_tpu.ops.pose import BODY_DIM, C_INDEX_3D
+from talkshow_tpu.ops.pose import BODY_DIM, C_INDEX_3D, C_INDEX_6D
 
 
 def _conv_channels(poses: np.ndarray) -> np.ndarray:
+    if poses.shape[-1] >= 330:          # convert_to_6d layout
+        return poses[..., C_INDEX_6D]
     return poses[..., C_INDEX_3D] if poses.shape[-1] >= 165 else poses
 
 
@@ -36,13 +38,14 @@ def eval_vq_capacity(vq_body: VQVAE, vq_hand: VQVAE, vq_vars: dict,
                      vq_states: dict, dataset) -> dict:
     """Reconstruction round-trip over whole clips (scripts/test_vq.py:28-64)."""
     losses = []
+    body_dim = vq_body.in_dim   # 39 (3d) or 78 (6d)
     for clip in dataset.whole_clips():
         conv = _conv_channels(clip["poses"])[None]
         t = conv.shape[1] - conv.shape[1] % 4
         conv = jnp.asarray(conv[:, :t])
-        rb, _, _, _ = vq_body.apply(vq_vars["body"], conv[..., :BODY_DIM],
+        rb, _, _, _ = vq_body.apply(vq_vars["body"], conv[..., :body_dim],
                                     vq_states["body"], False)
-        rh, _, _, _ = vq_hand.apply(vq_vars["hand"], conv[..., BODY_DIM:],
+        rh, _, _, _ = vq_hand.apply(vq_vars["hand"], conv[..., body_dim:],
                                     vq_states["hand"], False)
         recon = jnp.concatenate([rb, rh], axis=-1)
         losses.append(float(jnp.mean(jnp.abs(recon - conv))))
@@ -104,6 +107,41 @@ def eval_body(body: BodyModels, ae, ae_vars, dataset, num_samples: int = 2,
         if fgd_eval.audio_beats:
             out["bc"] = fgd_eval.get_bc_score()
     return out
+
+
+def eval_ls3dcg(gen, gen_vars, ae, ae_vars, dataset) -> dict:
+    """LS3DCG baseline metrics over whole clips.
+
+    Mirrors the reference's LS3DCG test path (nets/LS3DCG.py:365-391
+    infer_on_audio + the shared FGD harness scripts/test_body.py:98-144):
+    per-part L1/MSE of the deterministic generation against GT, plus FGD of
+    the generated conv channels through the shared body-AE extractor.
+    """
+    fgd_eval = FGDEvaluator(ae, ae_vars)
+    jaw_l1, exp_mse, body_l1, hand_l1 = [], [], [], []
+    for clip in dataset.whole_clips():
+        aud = clip["aud_feat"]
+        poses, exp = clip["poses"], clip["expression"]
+        t = min(poses.shape[0], aud.shape[0])
+        t -= t % 8  # generator pools /8 along time
+        if t == 0:
+            continue
+        pred = gen.apply(gen_vars, jnp.asarray(aud[None, :t]))
+        pred = np.asarray(pred[0])
+        conv_gt = _conv_channels(poses[:t])
+        jaw_l1.append(float(np.mean(np.abs(pred[:, :3] - poses[:t, :3]))))
+        exp_mse.append(float(np.mean((pred[:, 3:103] - exp[:t, :100]) ** 2)))
+        body_l1.append(float(np.mean(np.abs(pred[:, 103:142]
+                                            - conv_gt[:, :BODY_DIM]))))
+        hand_l1.append(float(np.mean(np.abs(pred[:, 142:]
+                                            - conv_gt[:, BODY_DIM:]))))
+        fgd_eval.push_samples(jnp.asarray(pred[None, :, 103:]),
+                              jnp.asarray(conv_gt)[None])
+    fgd, feat_mae = fgd_eval.get_scores()
+    return {"jaw_l1": float(np.mean(jaw_l1)), "exp_mse": float(np.mean(exp_mse)),
+            "body_l1": float(np.mean(body_l1)),
+            "hand_l1": float(np.mean(hand_l1)),
+            "fgd": fgd, "feat_mae": feat_mae, "num_clips": len(jaw_l1)}
 
 
 def eval_face(face_model, face_vars, dataset,

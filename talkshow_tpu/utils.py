@@ -128,6 +128,29 @@ def cast_floats(tree, dtype=jnp.bfloat16, keep_norm_f32: bool = True):
     return jax.tree_util.tree_map_with_path(cast, tree)
 
 
+def host_cache_dir(base: str) -> str:
+    """Host-keyed persistent-compilation-cache directory.
+
+    XLA:CPU's persistent cache stores AOT-compiled executables whose ISA
+    matches the COMPILING host; loading them on a host with different CPU
+    features fails (cpu_aot_loader "Compile machine features ... doesn't
+    match", potentially SIGILL).  Keying the cache path by machine arch +
+    /proc/cpuinfo flags makes a shared/checked-around cache dir safe: each
+    host population gets its own subtree, warm runs stay warm."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        pass
+    key = hashlib.sha1(
+        (platform.machine() + flags).encode()).hexdigest()[:12]
+    return os.path.join(base, f"host-{key}")
+
+
 def prefetch_iter(iterable, depth: int = 2):
     """Yield items of `iterable` while producing the NEXT `depth` items in
     a background thread — overlaps host-side batch assembly (window

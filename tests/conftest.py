@@ -23,8 +23,16 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the suite is compile-dominated (~40 min
 # cold); cached re-runs skip most of it.  Scoped to the repo so it ships
-# nowhere and `git clean` removes it.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# nowhere and `git clean` removes it.  Host-keyed subdir: XLA:CPU AOT
+# artifacts are ISA-specific and fail (feature mismatch / SIGILL) when a
+# cache compiled on a different machine is reused.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from talkshow_tpu.utils import host_cache_dir  # noqa: E402
+
+_cache_dir = host_cache_dir(os.path.join(os.path.dirname(__file__),
+                                         ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -82,3 +82,69 @@ def test_eval_runners_on_synthetic():
     res = eval_body(body, ae, ae_vars, ds, num_samples=2)
     for k in ("fgd", "feat_mae", "l2", "diversity"):
         assert np.isfinite(res[k]), k
+
+
+def _load_synthetic_smplx(tmp_path):
+    """Generate the synthetic SMPL-X npz and load it through the REAL
+    loader (scripts/make_synthetic_smplx.py round trip)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "scripts"))
+    import make_synthetic_smplx as mss
+    from talkshow_tpu.ops.smplx_lbs import load_smplx_npz
+    path = str(tmp_path / "smplx.npz")
+    np.savez(path, **mss.build_synthetic_smplx_arrays(verts_per_joint=4))
+    return load_smplx_npz(path)
+
+
+def test_eval_body_smplx_metrics(tmp_path):
+    """With an SMPL-X model the battery publishes LVD through the real
+    LBS path (reference scripts/test_body.py:157-174)."""
+    model = _load_synthetic_smplx(tmp_path)
+    ds = synthetic_dataset(num_clips=2, frames=64)
+    body = create_body_models(jax.random.PRNGKey(0), code_num=64,
+                              num_hiddens=64, pixel_dim=16, pixel_layers=3)
+    ae = AE(in_dim=129, num_hiddens=64)
+    ae_vars = ae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 129)))
+    res = eval_body(body, ae, ae_vars, ds, num_samples=2, smplx_model=model)
+    assert "lvd" in res and np.isfinite(res["lvd"]) and res["lvd"] > 0
+
+
+def test_eval_face_smplx_metrics(tmp_path):
+    """Vertex-space face LVD (reference scripts/test_face.py:148-160)."""
+    from talkshow_tpu.data.dataset import Clip, ShowDataset
+    from talkshow_tpu.eval.runners import eval_face
+    from talkshow_tpu.models.face import FaceGenerator
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+
+    model = _load_synthetic_smplx(tmp_path)
+    r = np.random.default_rng(0)
+    t = 30
+    clips = [Clip(speaker="oliver",
+                  poses=r.standard_normal((t, 165)).astype(np.float32) * 0.2,
+                  expression=r.standard_normal((t, 100)).astype(np.float32) * 0.3,
+                  aud_feat=r.standard_normal((t * 533, 1)).astype(np.float32) * 0.1,
+                  betas=np.zeros(300, np.float32))]
+    ds = ShowDataset(clips)
+    face = FaceGenerator(wav2vec_cfg=Wav2Vec2Config(num_layers=1))
+    fvars = face.init(jax.random.PRNGKey(0), jnp.zeros((1, t * 533)),
+                      jnp.zeros((1, 4)), t)
+    res = eval_face(face, fvars, ds, smplx_model=model)
+    assert "face_lvd" in res and np.isfinite(res["face_lvd"])
+    assert np.isfinite(res["jaw_l1"]) and np.isfinite(res["exp_mse"])
+
+
+def test_eval_ls3dcg_runner():
+    from talkshow_tpu.eval.runners import eval_ls3dcg
+    from talkshow_tpu.models.ls3dcg import LS3DCGGenerator
+
+    ds = synthetic_dataset(num_clips=2, frames=64)
+    gen = LS3DCGGenerator()
+    gvars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64)))
+    ae = AE(in_dim=129, num_hiddens=64)
+    ae_vars = ae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 129)))
+    res = eval_ls3dcg(gen, gvars, ae, ae_vars, ds)
+    for k in ("jaw_l1", "exp_mse", "body_l1", "hand_l1", "fgd"):
+        assert np.isfinite(res[k]), k
+    assert res["num_clips"] == 2
