@@ -31,6 +31,32 @@ def initialize_multihost(coordinator_address: str | None = None,
                                process_id=process_id)
 
 
+def warmup_collectives(mesh: Mesh) -> float:
+    """Establish the cross-process collective context with a tiny psum.
+
+    CPU collectives (Gloo) initialize lazily at the FIRST collective
+    execution, with a ~30 s TCP connect timeout per pair.  The first real
+    collective usually sits inside a big jitted train step whose compile
+    time differs across processes (cache state, machine load) — if one
+    process reaches the collective while a peer is still compiling for
+    >30 s, Gloo context init fails with DEADLINE_EXCEEDED/Connect timeout
+    (observed in tests/test_multihost.py under load).  Running a trivial
+    psum first bounds the arrival skew by this function's ~sub-second
+    compile, so the TCP mesh is up before any heavy compile begins; later
+    collectives reuse the established context.  Returns the psum result
+    (= number of mesh devices) so callers can sanity-check participation.
+    """
+    spec = NamedSharding(mesh, P())
+    ones = jax.device_put(np.ones((len(mesh.devices.flat),), np.float32),
+                          NamedSharding(mesh, P(mesh.axis_names[0])))
+
+    @jax.jit
+    def _allsum(x):
+        return jax.lax.with_sharding_constraint(x.sum(keepdims=True), spec)
+
+    return float(np.asarray(_allsum(ones))[0])
+
+
 def global_mesh(dp: int | None = None, tp: int = 1) -> Mesh:
     """Mesh over ALL devices (across hosts). tp should divide the number of
     devices per host so tensor collectives never cross DCN."""

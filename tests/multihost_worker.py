@@ -40,6 +40,11 @@ def main():
 
     mesh = mh.global_mesh(dp=8, tp=1)   # pure dp across both hosts
 
+    # establish the Gloo context while the processes are still in
+    # lockstep — the train-step compile below can skew them past Gloo's
+    # 30 s connect timeout (see mh.warmup_collectives docstring)
+    assert mh.warmup_collectives(mesh) == 4 * nprocs
+
     vq_body = VQVAE(in_dim=39, num_hiddens=32, embedding_dim=8)
     vq_hand = VQVAE(in_dim=90, num_hiddens=32, embedding_dim=8)
     init_state, step = tsteps.make_body_vq_step(vq_body, vq_hand, 1e-3)

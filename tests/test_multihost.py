@@ -30,9 +30,11 @@ def test_two_process_dp_body_vq_step(tmp_path):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env["JAX_PLATFORMS"] = "cpu"
-    # share the suite's persistent compile cache (see test_cli_train.py)
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
-        os.path.dirname(__file__), ".jax_cache")
+    # share the suite's persistent compile cache (see test_cli_train.py);
+    # host-keyed like conftest so cross-machine AOT artifacts never load
+    from talkshow_tpu.utils import host_cache_dir
+    env["JAX_COMPILATION_CACHE_DIR"] = host_cache_dir(os.path.join(
+        os.path.dirname(__file__), ".jax_cache"))
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
