@@ -52,7 +52,9 @@ def chain_ms(fn, args, K=32):
 
 
 def main():
-    from talkshow_tpu.models.body import create_body_models
+    from talkshow_tpu.models.body import (_fused_chunk_size,
+                                          create_body_models,
+                                          sample_tokens_fused_chunked)
     from talkshow_tpu.models.pixelcnn import sample_tokens
     from talkshow_tpu.models.pixelcnn_pallas import (
         FUSED_VMEM_BUDGET, MAX_FUSED_BATCH, fused_vmem_bytes,
@@ -63,7 +65,7 @@ def main():
     out = {"budget_mb": FUSED_VMEM_BUDGET / 2**20,
            "max_fused_batch": MAX_FUSED_BATCH, "cells": []}
 
-    for B in (1, 8, 16, 32):
+    for B in (1, 8, 16, 32, 64):
         for H in (75, 150, 300):
             vmem = fused_vmem_bytes(models.prior, H, B)
             admitted = (B <= MAX_FUSED_BATCH and vmem <= FUSED_VMEM_BUDGET)
@@ -93,6 +95,26 @@ def main():
             except Exception as e:   # publish the failure, not a crash
                 cell = {"B": B, "H": H, "vmem_mb": round(vmem / 2**20, 1),
                         "fused": admitted, "error": str(e)[:200]}
+
+            if not admitted:
+                # past the single-launch frontier generate_conv_poses now
+                # CHUNKS the batch over sequential fused launches — measure
+                # that path too so the win over the XLA fallback is a
+                # published number
+                chunk = _fused_chunk_size(models.prior, H, B)
+                if chunk is not None:
+                    def fnc(key, aud, pv, ids_, tb, chunk=chunk):
+                        return sample_tokens_fused_chunked(
+                            models.prior, pv, ids_, aud, key, chunk,
+                            tables=tb)
+                    try:
+                        msc = chain_ms(fnc, (audio, models.prior_vars, ids,
+                                             tables), K=16)
+                        cell.update(chunk=chunk, chunked_ms=round(msc, 2),
+                                    chunked_ms_per_clip=round(msc / B, 3))
+                    except Exception as e:
+                        cell.update(chunk=chunk,
+                                    chunked_error=str(e)[:200])
             out["cells"].append(cell)
             print(cell, flush=True)
 

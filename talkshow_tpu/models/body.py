@@ -72,6 +72,48 @@ def encode_audio(models: BodyModels, mfcc_feat: jnp.ndarray) -> jnp.ndarray:
     return models.audio_enc.apply(models.audio_enc_vars, mfcc_feat)
 
 
+def sample_tokens_fused_chunked(prior, prior_vars, speaker_id, audio, rng,
+                                chunk: int, *, tables=None, **fused_kw):
+    """Fused AR decode of a batch LARGER than one kernel launch admits,
+    as ceil(B/chunk) sequential launches (each key-independent).
+
+    Past the single-launch VMEM frontier this still beats the XLA sampler
+    ~2x (docs/frontier_r05.json: B=32 x H=300 fallback 30.7 ms vs 2 fused
+    B=16 launches ~16.9 ms), and it gives B > MAX_FUSED_BATCH serving
+    groups a fused path at all.  Tokens match per-chunk direct fused calls
+    exactly; the noise stream differs from a single-launch decode (one key
+    per chunk), which only matters for bitwise reproduction, not
+    distribution.
+    """
+    from talkshow_tpu.models.pixelcnn_pallas import sample_tokens_fused
+    B = audio.shape[0]
+    keys = jax.random.split(rng, -(-B // chunk))
+    parts = [sample_tokens_fused(
+        prior, prior_vars, speaker_id[i:i + chunk], audio[i:i + chunk],
+        keys[i // chunk], tables=tables, **fused_kw)
+        for i in range(0, B, chunk)]
+    return jnp.concatenate(parts, axis=0)
+
+
+def _fused_chunk_size(prior, H: int, B: int) -> int | None:
+    """Largest admissible per-launch batch for a CHUNKED fused decode.
+
+    Returns the biggest sublane-aligned chunk (multiple of 8, capped at
+    MAX_FUSED_BATCH) whose analytic VMEM footprint fits the budget, or
+    None when even an 8-row launch would not fit (extreme H) — callers
+    then use the XLA sampler.  Chunking costs one kernel launch per chunk
+    (~flat in batch, linear in H: docs/frontier_r05.json) and, when B is
+    not a multiple of the chunk, one extra compile for the tail shape.
+    """
+    from talkshow_tpu.models.pixelcnn_pallas import (FUSED_VMEM_BUDGET,
+                                                     MAX_FUSED_BATCH,
+                                                     fused_vmem_bytes)
+    for bc in range(min(B - B % 8, MAX_FUSED_BATCH), 0, -8):
+        if fused_vmem_bytes(prior, H, bc) <= FUSED_VMEM_BUDGET:
+            return bc
+    return None
+
+
 def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
                         speaker_id: jnp.ndarray, rng: jax.Array,
                         prefix_tokens=None, prefix_len: int = 0,
@@ -84,8 +126,12 @@ def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
     use_fused: route the AR decode through the single-kernel Pallas decoder
     (models/pixelcnn_pallas.py, ~3.5x faster; the sample batch rides the
     kernel's sublane axis so B samples decode in ~the time of one).
-    Default (None) auto-selects it on TPU for B <= MAX_FUSED_BATCH; the
-    XLA lax.scan sampler handles larger batches and other backends.
+    Default (None) auto-selects on TPU: one fused launch when (B, H) fits
+    the VMEM budget; otherwise the batch is CHUNKED over sequential fused
+    launches (fresh-generation path only — still ~2x the XLA sampler past
+    the single-launch frontier, docs/frontier_r05.json); the XLA lax.scan
+    sampler handles everything else (other backends, prefix continuation
+    past the frontier, extreme H).
 
     tables: pre-packed decode weights (pixelcnn_pallas.pack_decode_tables).
     Packing transposes ~60 MB of prior weights (~3 ms device); serving
@@ -93,26 +139,42 @@ def generate_conv_poses(models: BodyModels, mfcc_feat: jnp.ndarray,
     than repay it every clip.
     """
     audio = encode_audio(models, mfcc_feat)                  # (B, H, 256)
+    B, H = audio.shape[0], audio.shape[1]
+    chunk = None
     if use_fused is None:
         from talkshow_tpu.models.pixelcnn_pallas import (FUSED_VMEM_BUDGET,
                                                          MAX_FUSED_BATCH,
                                                          fused_vmem_bytes,
                                                          supports_fused)
-        use_fused = (jax.default_backend() == "tpu"
-                     and audio.shape[0] <= MAX_FUSED_BATCH
-                     and supports_fused(models.prior)
-                     # everything but the ~60 MB of weights scales with
-                     # H*Bp; very long clips x big batches must fall back
-                     # to the XLA sampler instead of failing VMEM alloc
-                     and fused_vmem_bytes(models.prior, audio.shape[1],
-                                          audio.shape[0])
-                     <= FUSED_VMEM_BUDGET)
+        if jax.default_backend() == "tpu" and supports_fused(models.prior):
+            # everything but the ~60 MB of weights scales with H*Bp; the
+            # whole batch must fit VMEM in one kernel launch
+            use_fused = (B <= MAX_FUSED_BATCH
+                         and fused_vmem_bytes(models.prior, H, B)
+                         <= FUSED_VMEM_BUDGET)
+            if not use_fused and prefix_tokens is None:
+                # past the single-launch frontier, CHUNK the batch over
+                # sequential fused launches instead of falling off the
+                # perf cliff: the measured frontier (docs/frontier_r05
+                # .json) has the XLA sampler at 30.7 ms for B=32 x H=300
+                # where 2 fused B=16 launches cost ~2 x 8.4 ms, and B >
+                # MAX_FUSED_BATCH groups (e.g. 64 x H=75: 2 x 2.7 ms)
+                # never had a fused path at all
+                chunk = _fused_chunk_size(models.prior, H, B)
+                use_fused = chunk is not None
+        else:
+            use_fused = False
     if use_fused:
         from talkshow_tpu.models.pixelcnn_pallas import sample_tokens_fused
-        tokens = sample_tokens_fused(
-            models.prior, models.prior_vars, speaker_id, audio, rng,
-            prefix_tokens=prefix_tokens, prefix_len=prefix_len,
-            tables=tables)
+        if chunk is not None:
+            tokens = sample_tokens_fused_chunked(
+                models.prior, models.prior_vars, speaker_id, audio, rng,
+                chunk, tables=tables)
+        else:
+            tokens = sample_tokens_fused(
+                models.prior, models.prior_vars, speaker_id, audio, rng,
+                prefix_tokens=prefix_tokens, prefix_len=prefix_len,
+                tables=tables)
     else:
         tokens = sample_tokens(models.prior, models.prior_vars, speaker_id,
                                audio, rng, prefix_tokens=prefix_tokens,

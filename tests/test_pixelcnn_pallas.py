@@ -179,6 +179,45 @@ def test_generate_conv_poses_fused_route():
     assert np.isfinite(np.asarray(conv_f)).all()
 
 
+def test_chunked_fused_matches_xla_per_chunk(small_prior):
+    """Batch-chunked fused decode (models/body.py): each chunk's tokens
+    match the XLA sampler bit-for-bit under the chunk's own key (noise=
+    'input'), so the chunk loop adds no numerics of its own."""
+    from talkshow_tpu.models.body import sample_tokens_fused_chunked
+    m, v, _ = small_prior
+    B, chunk = 4, 2
+    audio = jax.random.normal(jax.random.PRNGKey(21), (B, H, 256))
+    label = jnp.array([0, 1, 2, 3], jnp.int32)
+    rng = jax.random.PRNGKey(22)
+    out = sample_tokens_fused_chunked(m, v, label, audio, rng, chunk,
+                                      dtype=jnp.float32, noise="input")
+    assert out.shape == (B, H, 2)
+    keys = jax.random.split(rng, B // chunk)
+    for j, i in enumerate(range(0, B, chunk)):
+        ref = sample_tokens_reference(m, v, label[i:i + chunk],
+                                      audio[i:i + chunk], keys[j])
+        assert jnp.all(out[i:i + chunk] == ref)
+
+
+def test_fused_chunk_size_selection():
+    """Auto-select chunk sizing against the analytic VMEM footprint."""
+    from talkshow_tpu.models.body import _fused_chunk_size
+    from talkshow_tpu.models.pixelcnn_pallas import (FUSED_VMEM_BUDGET,
+                                                     MAX_FUSED_BATCH,
+                                                     fused_vmem_bytes)
+    full = GatedPixelCNN()          # 2048 codes, dim 256, 15 layers
+    # the measured frontier's one fallback cell: B=32 x H=300 must chunk
+    bc = _fused_chunk_size(full, H=300, B=32)
+    assert bc is not None and bc % 8 == 0 and bc < 32
+    assert fused_vmem_bytes(full, H=300, B=bc) <= FUSED_VMEM_BUDGET
+    # past MAX_FUSED_BATCH at standard clip length: chunk at the cap
+    assert _fused_chunk_size(full, H=75, B=64) == MAX_FUSED_BATCH
+    # extreme H: even one 8-row launch cannot fit -> XLA fallback
+    assert _fused_chunk_size(full, H=3000, B=32) is None
+    # sub-sublane batches can't shrink (Bp rounds up to 8 anyway)
+    assert _fused_chunk_size(full, H=3000, B=4) is None
+
+
 def test_fused_vmem_budget_gating():
     """The analytic VMEM estimate must admit every production shape the
     auto-select routes to the kernel and reject shapes that would fail
