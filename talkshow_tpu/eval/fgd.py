@@ -39,6 +39,25 @@ def frechet_distance(feats_a: jnp.ndarray, feats_b: jnp.ndarray,
     return diff @ diff + jnp.trace(s1) + jnp.trace(s2) - 2.0 * tr_covmean
 
 
+def frechet_distance_np(feats_a: np.ndarray, feats_b: np.ndarray,
+                        eps: float = 1e-6) -> float:
+    """Pure-numpy mirror of `frechet_distance` (same eigh identity).
+
+    Used by the bootstrap, where resampled feature counts vary per draw —
+    recomputing on host avoids one XLA recompile per distinct shape (fatal
+    over the axon tunnel at ~30 s per remote compile).
+    """
+    mu1, mu2 = feats_a.mean(0), feats_b.mean(0)
+    s1 = np.cov(feats_a, rowvar=False) + np.eye(feats_a.shape[1]) * eps
+    s2 = np.cov(feats_b, rowvar=False) + np.eye(feats_b.shape[1]) * eps
+    w1, v1 = np.linalg.eigh(s1)
+    sq1 = (v1 * np.sqrt(np.maximum(w1, 0.0))) @ v1.T
+    wm = np.linalg.eigvalsh(sq1 @ s2 @ sq1)
+    tr_covmean = np.sum(np.sqrt(np.maximum(wm, 0.0)))
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * tr_covmean)
+
+
 class FGDEvaluator:
     """Accumulates real/generated features, joints and audio beats per clip
     (push_* mirror EmbeddingSpaceEvaluator :38-63)."""
@@ -82,6 +101,32 @@ class FGDEvaluator:
         n = min(len(gen), len(real))
         feat_mae = float(np.mean(np.sum(np.abs(real[:n] - gen[:n]), axis=1)))
         return fgd, feat_mae
+
+    def bootstrap_fgd(self, n_boot: int = 200, seed: int = 0) -> dict:
+        """Clip-level bootstrap CI for the FGD point estimate.
+
+        Each push_samples call is one clip, so `gen_feats[i]`/`real_feats[i]`
+        are paired per-clip feature groups: resampling clip INDICES with
+        replacement (paired, so gen and real stay matched) respects the real
+        dependence structure — frames within a clip are correlated, clips are
+        the independent unit. The reference publishes FGD as a bare point
+        estimate (evaluation/FGD.py get_scores); the spread here is what a
+        reviewer needs to judge the trained-vs-random margin.
+        """
+        n_clips = len(self.gen_feats)
+        if n_clips < 2:
+            raise ValueError("bootstrap_fgd needs >= 2 pushed clips")
+        rng = np.random.default_rng(seed)
+        draws = np.empty(n_boot)
+        for b in range(n_boot):
+            idx = rng.integers(0, n_clips, size=n_clips)
+            gen = np.vstack([self.gen_feats[i] for i in idx])
+            real = np.vstack([self.real_feats[i] for i in idx])
+            draws[b] = frechet_distance_np(gen, real)
+        lo, hi = np.percentile(draws, [2.5, 97.5])
+        return {"mean": float(draws.mean()), "std": float(draws.std()),
+                "p2_5": float(lo), "p97_5": float(hi),
+                "n_boot": n_boot, "n_clips": n_clips}
 
     def get_bc_score(self) -> float:
         from talkshow_tpu.eval.metrics import beat_consistency

@@ -102,6 +102,8 @@ def eval_body(body: BodyModels, ae, ae_vars, dataset, num_samples: int = 2,
         "diversity": float(np.mean(div_vals)),
         "num_clips": len(l2_vals),
     }
+    if len(l2_vals) >= 2:
+        out["fgd_ci"] = fgd_eval.bootstrap_fgd()
     if lvd_vals:
         out["lvd"] = float(np.mean(lvd_vals))
         if fgd_eval.audio_beats:
@@ -138,10 +140,13 @@ def eval_ls3dcg(gen, gen_vars, ae, ae_vars, dataset) -> dict:
         fgd_eval.push_samples(jnp.asarray(pred[None, :, 103:]),
                               jnp.asarray(conv_gt)[None])
     fgd, feat_mae = fgd_eval.get_scores()
-    return {"jaw_l1": float(np.mean(jaw_l1)), "exp_mse": float(np.mean(exp_mse)),
-            "body_l1": float(np.mean(body_l1)),
-            "hand_l1": float(np.mean(hand_l1)),
-            "fgd": fgd, "feat_mae": feat_mae, "num_clips": len(jaw_l1)}
+    out = {"jaw_l1": float(np.mean(jaw_l1)), "exp_mse": float(np.mean(exp_mse)),
+           "body_l1": float(np.mean(body_l1)),
+           "hand_l1": float(np.mean(hand_l1)),
+           "fgd": fgd, "feat_mae": feat_mae, "num_clips": len(jaw_l1)}
+    if len(jaw_l1) >= 2:
+        out["fgd_ci"] = fgd_eval.bootstrap_fgd()
+    return out
 
 
 def eval_face(face_model, face_vars, dataset,

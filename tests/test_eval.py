@@ -6,7 +6,8 @@ import pytest
 
 from talkshow_tpu.data.dataset import synthetic_dataset
 from talkshow_tpu.eval import metrics as M
-from talkshow_tpu.eval.fgd import FGDEvaluator, frechet_distance
+from talkshow_tpu.eval.fgd import (FGDEvaluator, frechet_distance,
+                                   frechet_distance_np)
 from talkshow_tpu.models.body import create_body_models
 from talkshow_tpu.models.vqvae import AE
 from talkshow_tpu.eval.runners import eval_body, eval_vq_capacity
@@ -37,6 +38,38 @@ def test_frechet_matches_scipy_sqrtm(rng):
     d_ref = ((mu1 - mu2) @ (mu1 - mu2) + np.trace(s1) + np.trace(s2)
              - 2 * np.trace(covmean.real))
     np.testing.assert_allclose(d_ours, d_ref, rtol=1e-3)
+
+
+def test_frechet_np_matches_jnp(rng):
+    a = rng.standard_normal((300, 12)).astype(np.float32)
+    b = (rng.standard_normal((250, 12)) * 1.4 + 0.5).astype(np.float32)
+    d_np = frechet_distance_np(a, b)
+    d_jnp = float(frechet_distance(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(d_np, d_jnp, rtol=1e-4, atol=1e-4)
+
+
+def test_bootstrap_fgd_ci(rng):
+    """Clip-level bootstrap: deterministic under seed, CI brackets the
+    point estimate, and a large mean shift keeps the CI well above zero."""
+    class _Id:
+        def apply(self, vars_, x, method=None):
+            return x[..., None, :]   # (B,T,C) -> (B,T,1,C) identity embed
+    ev = FGDEvaluator(_Id(), {})
+    for _ in range(12):
+        real = rng.standard_normal((1, 40, 16)).astype(np.float32)
+        gen = (real + 3.0 + 0.1 * rng.standard_normal((1, 40, 16))
+               ).astype(np.float32)
+        ev.push_samples(jnp.asarray(gen), jnp.asarray(real))
+    point, _ = ev.get_scores()
+    ci = ev.bootstrap_fgd(n_boot=64, seed=1)
+    ci2 = ev.bootstrap_fgd(n_boot=64, seed=1)
+    assert ci == ci2                      # seeded -> reproducible
+    assert ci["n_clips"] == 12 and ci["n_boot"] == 64
+    assert ci["p2_5"] <= point <= ci["p97_5"] or \
+        abs(ci["mean"] - point) < 3 * ci["std"] + 1e-6
+    assert ci["p2_5"] > 50                # ||3||^2*16 = 144 shift dominates
+    with pytest.raises(ValueError):
+        FGDEvaluator(_Id(), {}).bootstrap_fgd()
 
 
 def test_lvd_zero_for_identical(rng):
