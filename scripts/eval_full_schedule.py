@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--cache_tag", default="r05",
                     help="eval-split pickle-cache tag (bump when the test "
                          "split grows so stale caches are never reused)")
+    ap.add_argument("--rep6d_json", default="",
+                    help="rep6d probe json to inline (default: "
+                         "docs/r05_schedule/rep6d.json next to --out)")
     ap.add_argument("--out", default="EVAL_r05.json")
     args = ap.parse_args()
 
@@ -85,6 +88,8 @@ def main():
 
     from talkshow_tpu.config import Config
     from talkshow_tpu.data.dataset import ShowDataset
+    from talkshow_tpu.eval.fgd import paired_fgd_gap
+    from talkshow_tpu.eval.metrics import paired_clip_gap
     from talkshow_tpu.eval.runners import (eval_body, eval_face,
                                            eval_ls3dcg, eval_vq_capacity)
     from talkshow_tpu.models.body import BodyModels
@@ -196,6 +201,20 @@ def main():
     print("body random:", results["body_random_prior"], flush=True)
     results["fgd_trained_beats_random"] = bool(
         results["body_trained"]["fgd"] < results["body_random_prior"]["fgd"])
+    if "fgd_ci" in results["body_trained"]:
+        # paired gaps — same seed + clip walk in both arms, so the shared
+        # which-clips variance cancels and the gap CI is tight where the
+        # marginal CIs overlap
+        gaps = {"fgd": paired_fgd_gap(
+            results["body_trained"]["fgd_ci"],
+            results["body_random_prior"]["fgd_ci"])}
+        for key in ("l2", "lvd"):
+            a = results["body_trained"]["per_clip"].get(key)
+            b = results["body_random_prior"]["per_clip"].get(key)
+            if a and b:
+                gaps[key] = paired_clip_gap(a, b)
+        results["body_gap_trained_minus_random"] = gaps
+        print("body gaps (trained - random):", gaps, flush=True)
 
     results["face_trained"] = eval_face(face, {"params": stf.params}, ds_raw,
                                         smplx_model=smplx_model)
@@ -205,6 +224,11 @@ def main():
     results["face_trained_beats_random"] = bool(
         results["face_trained"]["jaw_l1"]
         < results["face_random_init"]["jaw_l1"])
+    if "per_clip" in results["face_trained"]:
+        results["face_gap_trained_minus_random"] = {
+            "jaw_l1": paired_clip_gap(
+                results["face_trained"]["per_clip"]["jaw_l1"],
+                results["face_random_init"]["per_clip"]["jaw_l1"])}
 
     # ---- LS3DCG baseline (when its schedule stage ran) ----
     if os.path.isdir(os.path.join(args.run_root, "ls3dcg")):
@@ -225,13 +249,27 @@ def main():
             < results["ls3dcg_random_init"]["body_l1"]
             and results["ls3dcg_trained"]["fgd"]
             < results["ls3dcg_random_init"]["fgd"])
+        if "fgd_ci" in results["ls3dcg_trained"]:
+            results["ls3dcg_gap_trained_minus_random"] = {
+                "fgd": paired_fgd_gap(
+                    results["ls3dcg_trained"]["fgd_ci"],
+                    results["ls3dcg_random_init"]["fgd_ci"]),
+                "body_l1": paired_clip_gap(
+                    results["ls3dcg_trained"]["per_clip"]["body_l1"],
+                    results["ls3dcg_random_init"]["per_clip"]["body_l1"])}
 
     # ---- rep6d probe results (scripts/rep6d_probe.py), when present ----
-    rep6d_path = os.path.join(os.path.dirname(os.path.abspath(args.out)),
-                              "docs", f"{args.cache_tag}_schedule",
-                              "rep6d.json")
+    rep6d_path = args.rep6d_json or os.path.join(
+        os.path.dirname(os.path.abspath(args.out)),
+        "docs", "r05_schedule", "rep6d.json")
     if os.path.exists(rep6d_path):
         results["rep6d"] = json.load(open(rep6d_path))
+
+    # raw bootstrap draws served their purpose (the paired gaps above);
+    # keep the published JSON to summary stats
+    for sec in results.values():
+        if isinstance(sec, dict) and isinstance(sec.get("fgd_ci"), dict):
+            sec["fgd_ci"].pop("draws", None)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

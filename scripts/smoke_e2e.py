@@ -85,6 +85,7 @@ def main():
     res = eval_body(body, ae,
                     {"params": st3.params, "batch_stats": st3.batch_stats},
                     ds, num_samples=2)
+    res.get("fgd_ci", {}).pop("draws", None)   # raw resamples: noise here
     out = {**cap, **res,
            "stage1_rec_improved": bool(rec_last < rec_first),
            "stage2_ce_improved": bool(ce_last < ce_first)}

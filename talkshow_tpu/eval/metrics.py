@@ -79,6 +79,42 @@ def batch_lvd(gt_kps: jnp.ndarray, pr_kps: jnp.ndarray,
                             axis=-1))
 
 
+def clip_ci(vals, n_boot: int = 200, seed: int = 0) -> dict:
+    """Bootstrap CI of a per-clip scalar metric's mean (clips = independent
+    unit, same rationale as FGDEvaluator.bootstrap_fgd)."""
+    vals = np.asarray(vals, dtype=float)
+    if vals.size < 2:
+        raise ValueError("clip_ci needs >= 2 per-clip values")
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, vals.size, size=(n_boot, vals.size))
+    draws = vals[idx].mean(axis=1)
+    lo, hi = np.percentile(draws, [2.5, 97.5])
+    return {"mean": float(draws.mean()), "std": float(draws.std()),
+            "p2_5": float(lo), "p97_5": float(hi),
+            "n_boot": n_boot, "n_clips": int(vals.size)}
+
+
+def paired_clip_gap(vals_a, vals_b, n_boot: int = 200, seed: int = 0) -> dict:
+    """Paired bootstrap of the gap between two arms' per-clip metric values
+    measured on the SAME clips in the same order (e.g. trained vs random
+    init over one test split): bootstrap the per-clip differences, so the
+    shared clip-difficulty variance cancels — the gap CI can exclude zero
+    where the marginal CIs overlap."""
+    vals_a, vals_b = np.asarray(vals_a, float), np.asarray(vals_b, float)
+    if vals_a.shape != vals_b.shape:
+        raise ValueError(f"arms differ in clip count: {vals_a.shape} vs "
+                         f"{vals_b.shape} — not the same clip walk")
+    diff = vals_a - vals_b
+    out = clip_ci(diff, n_boot=n_boot, seed=seed)
+    # fraction of bootstrap resamples with mean gap < 0 (same convention as
+    # fgd.paired_fgd_gap) plus the raw per-clip win rate
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, diff.size, size=(n_boot, diff.size))
+    out["frac_a_lt_b"] = float(np.mean(diff[idx].mean(axis=1) < 0))
+    out["clip_win_rate_a"] = float(np.mean(diff < 0))
+    return out
+
+
 def diversity(samples: np.ndarray) -> float:
     """Mean pairwise L1 between samples (evaluation/metrics.py:96-109).
     samples: (B, T, D)."""

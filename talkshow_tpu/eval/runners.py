@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from talkshow_tpu.eval.fgd import FGDEvaluator
-from talkshow_tpu.eval.metrics import diversity, lvd
+from talkshow_tpu.eval.metrics import clip_ci, diversity, lvd
 from talkshow_tpu.models.body import BodyModels, generate_conv_poses
 from talkshow_tpu.models.vqvae import VQVAE
 from talkshow_tpu.ops import audio as audio_ops
@@ -102,10 +102,19 @@ def eval_body(body: BodyModels, ae, ae_vars, dataset, num_samples: int = 2,
         "diversity": float(np.mean(div_vals)),
         "num_clips": len(l2_vals),
     }
+    # per-clip values let callers compute paired trained-vs-random gaps
+    # (metrics.paired_clip_gap) — clips are the independent unit
+    out["per_clip"] = {"l2": l2_vals, "diversity": div_vals}
     if len(l2_vals) >= 2:
-        out["fgd_ci"] = fgd_eval.bootstrap_fgd()
+        # draws kept so callers can pair two arms (paired_fgd_gap);
+        # eval_full_schedule strips them before publishing.
+        out["fgd_ci"] = fgd_eval.bootstrap_fgd(return_draws=True)
+        out["l2_ci"] = clip_ci(l2_vals)
     if lvd_vals:
         out["lvd"] = float(np.mean(lvd_vals))
+        out["per_clip"]["lvd"] = lvd_vals
+        if len(lvd_vals) >= 2:
+            out["lvd_ci"] = clip_ci(lvd_vals)
         if fgd_eval.audio_beats:
             out["bc"] = fgd_eval.get_bc_score()
     return out
@@ -143,9 +152,12 @@ def eval_ls3dcg(gen, gen_vars, ae, ae_vars, dataset) -> dict:
     out = {"jaw_l1": float(np.mean(jaw_l1)), "exp_mse": float(np.mean(exp_mse)),
            "body_l1": float(np.mean(body_l1)),
            "hand_l1": float(np.mean(hand_l1)),
-           "fgd": fgd, "feat_mae": feat_mae, "num_clips": len(jaw_l1)}
+           "fgd": fgd, "feat_mae": feat_mae, "num_clips": len(jaw_l1),
+           "per_clip": {"jaw_l1": jaw_l1, "body_l1": body_l1,
+                        "hand_l1": hand_l1}}
     if len(jaw_l1) >= 2:
-        out["fgd_ci"] = fgd_eval.bootstrap_fgd()
+        out["fgd_ci"] = fgd_eval.bootstrap_fgd(return_draws=True)
+        out["body_l1_ci"] = clip_ci(body_l1)
     return out
 
 
@@ -182,7 +194,13 @@ def eval_face(face_model, face_vars, dataset,
             "eval_face saw no raw-waveform clips — load the dataset with "
             "feat='raw' (every clip's aud_feat was mfcc-like)")
     out = {"jaw_l1": float(np.mean(jaw_l1)), "exp_mse": float(np.mean(exp_mse)),
-           "num_clips": len(jaw_l1)}
+           "num_clips": len(jaw_l1),
+           "per_clip": {"jaw_l1": jaw_l1, "exp_mse": exp_mse}}
+    if len(jaw_l1) >= 2:
+        out["jaw_l1_ci"] = clip_ci(jaw_l1)
     if lvd_vals:
         out["face_lvd"] = float(np.mean(lvd_vals))
+        out["per_clip"]["face_lvd"] = lvd_vals
+        if len(lvd_vals) >= 2:
+            out["face_lvd_ci"] = clip_ci(lvd_vals)
     return out

@@ -72,6 +72,65 @@ def test_bootstrap_fgd_ci(rng):
         FGDEvaluator(_Id(), {}).bootstrap_fgd()
 
 
+def test_paired_fgd_gap(rng):
+    """Two arms over the same clips + same bootstrap seed pair draw-for-draw:
+    the gap CI separates a close arm from a far arm even when noise makes
+    the marginal CIs wide, and unpaired inputs are rejected."""
+    from talkshow_tpu.eval.fgd import paired_fgd_gap
+
+    class _Id:
+        def apply(self, vars_, x, method=None):
+            return x[..., None, :]
+    ev_close, ev_far = FGDEvaluator(_Id(), {}), FGDEvaluator(_Id(), {})
+    for _ in range(12):
+        real = rng.standard_normal((1, 40, 16)).astype(np.float32)
+        noise = 0.1 * rng.standard_normal((1, 40, 16))
+        ev_close.push_samples(jnp.asarray(real + noise).astype(jnp.float32),
+                              jnp.asarray(real))
+        ev_far.push_samples(jnp.asarray(real + 3.0 + noise
+                                        ).astype(jnp.float32),
+                            jnp.asarray(real))
+    ci_close = ev_close.bootstrap_fgd(n_boot=64, seed=1, return_draws=True)
+    ci_far = ev_far.bootstrap_fgd(n_boot=64, seed=1, return_draws=True)
+    gap = paired_fgd_gap(ci_close, ci_far)
+    assert gap["p97_5"] < 0                 # close − far strictly negative
+    assert gap["frac_a_lt_b"] == 1.0
+    assert gap["n_boot"] == 64 and gap["n_clips"] == 12
+
+    with pytest.raises(ValueError):         # draws missing
+        paired_fgd_gap(ev_close.bootstrap_fgd(n_boot=64, seed=1), ci_far)
+    with pytest.raises(ValueError):         # different seed -> not paired
+        paired_fgd_gap(
+            ev_close.bootstrap_fgd(n_boot=64, seed=2, return_draws=True),
+            ci_far)
+
+
+def test_clip_ci_and_paired_gap(rng):
+    """Scalar per-clip bootstrap: CI brackets the sample mean; the paired
+    gap separates arms whose shared clip-difficulty noise swamps the
+    marginal CIs; mismatched clip walks are rejected."""
+    difficulty = rng.standard_normal(16) * 5.0       # shared per-clip noise
+    arm_a = difficulty + 1.0 + 0.05 * rng.standard_normal(16)
+    arm_b = difficulty + 1.3 + 0.05 * rng.standard_normal(16)
+
+    ci = M.clip_ci(arm_a, n_boot=128, seed=3)
+    assert ci["p2_5"] <= float(np.mean(arm_a)) <= ci["p97_5"]
+    assert ci == M.clip_ci(arm_a, n_boot=128, seed=3)   # deterministic
+
+    # marginal CIs overlap (shared 5-sigma difficulty) ...
+    ci_b = M.clip_ci(arm_b, n_boot=128, seed=3)
+    assert ci["p97_5"] > ci_b["p2_5"]
+    # ... but the paired gap cleanly excludes zero
+    gap = M.paired_clip_gap(arm_a, arm_b, n_boot=128, seed=3)
+    assert gap["p97_5"] < 0 and gap["frac_a_lt_b"] == 1.0
+    assert gap["clip_win_rate_a"] == 1.0
+
+    with pytest.raises(ValueError):
+        M.paired_clip_gap(arm_a, arm_b[:-1])
+    with pytest.raises(ValueError):
+        M.clip_ci([1.0])
+
+
 def test_lvd_zero_for_identical(rng):
     j = rng.standard_normal((30, 22, 3)).astype(np.float32)
     assert float(M.lvd(jnp.asarray(j), jnp.asarray(j))) == 0.0
