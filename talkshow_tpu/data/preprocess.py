@@ -71,6 +71,27 @@ def random_split(clips: list, train: float = 0.8, val: float = 0.1,
     }
 
 
+def load_published_split(pkl_path: str) -> dict[str, str]:
+    """Flatten the reference's published split pkl into apply_split's map.
+
+    `split_more_than_2s.pkl` is nested {speaker: {vid: {split: [seq_path,
+    ...]}}} with Windows-style path entries (data_utils/apply_split.py:
+    10-27 walks it and physically MOVES files); here we just map each
+    clip-directory basename -> 'train'|'val'|'test' and let apply_split
+    assign scanned clips, no file moves needed.
+    """
+    with open(pkl_path, "rb") as f:
+        nested = pickle.load(f)
+    split_map: dict[str, str] = {}
+    for vids in nested.values():
+        for splits in vids.values():
+            for split, seqs in splits.items():
+                for seq in seqs:
+                    key = os.path.basename(str(seq).replace("\\", "/"))
+                    split_map[key] = split
+    return split_map
+
+
 def apply_split(clips: list, split_map: dict[str, str]) -> dict[str, list]:
     """Apply a published split: split_map maps a clip key (its directory
     basename) to 'train'|'val'|'test' (data_utils/apply_split.py)."""

@@ -97,6 +97,29 @@ def test_apply_split():
     assert len(out["train"]) == 1 and len(out["test"]) == 1
 
 
+def test_load_published_split(tmp_path):
+    """Flattens the reference's nested split pkl ({speaker:{vid:{split:
+    [seq,...]}}} with Windows-style paths) into apply_split's flat map."""
+    import pickle
+    nested = {
+        "oliver": {"vid1": {
+            "train": ["exp\\oliver\\vid1\\clipA"],
+            "test": ["exp/oliver/vid1/clipB"],
+        }},
+        "seth": {"vid9": {"val": ["exp/seth/vid9/clipC"]}},
+    }
+    path = tmp_path / "split.pkl"
+    path.write_bytes(pickle.dumps(nested))
+    sm = pp.load_published_split(str(path))
+    assert sm == {"clipA": "train", "clipB": "test", "clipC": "val"}
+    clips = [("oliver", "/r/oliver/vid1/clipA/m.pkl", "a.wav"),
+             ("oliver", "/r/oliver/vid1/clipB/m.pkl", "a.wav"),
+             ("seth", "/r/seth/vid9/clipD/m.pkl", "a.wav")]  # D: not in pkl
+    out = pp.apply_split(clips, sm)
+    assert len(out["train"]) == 1 and len(out["test"]) == 1
+    assert len(out["val"]) == 0   # clipC never scanned, clipD unmapped
+
+
 def test_config_from_reference_json(tmp_path):
     if os.path.isfile("/root/reference/config/body_pixel.json"):
         cfg = Config.from_reference_json("/root/reference/config/body_pixel.json")
