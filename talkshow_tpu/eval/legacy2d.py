@@ -227,6 +227,10 @@ def mode_transition_consistency(pred_seq: np.ndarray, gt_seq: np.ndarray):
     against GT transitions (mode_transition.py:49-52 usage)."""
     pred_tr = pred_seq[:, 1:] != pred_seq[:, :-1]
     gt_tr = gt_seq[:, 1:] != gt_seq[:, :-1]
+    # a (1, N) GT row against (B, N) predicted samples: count the GT
+    # transitions once PER SAMPLE, else tp (which broadcasts in the &)
+    # outgrows the recall denominator and recall exceeds 1
+    gt_tr = np.broadcast_to(gt_tr, pred_tr.shape)
     tp = float(np.sum(pred_tr & gt_tr))
     precision = tp / max(float(np.sum(pred_tr)), 1.0)
     recall = tp / max(float(np.sum(gt_tr)), 1.0)
