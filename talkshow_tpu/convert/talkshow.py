@@ -147,15 +147,22 @@ def convert_audio_encoder(sd: dict, prefix: str = ""):
 # PixelCNN
 # ---------------------------------------------------------------------------
 
-def convert_pixelcnn(sd: dict, n_layers: int = 15, audio: bool = True,
-                     bh_model: bool = True):
+def convert_pixelcnn(sd: dict, n_layers: int | None = None,
+                     audio: bool = True, bh_model: bool = True):
     """gated_pixelcnn_v2.GatedPixelCNN (:90-150) -> flax params.
 
     Structural-mask handling: mask-A kernels have their causally-zeroed
     last row (vert) / last column (horiz) sliced off — our layers encode
     the mask in the padding instead of zeroed weights.
+
+    n_layers=None infers the stack depth from the `layers.<i>.` keys, so
+    one call handles both the 3d prior (15 layers) and the 6d prior
+    (10 layers, smplx_body_pixel.py:49-53).
     """
     sd = strip_module_prefix(sd)
+    if n_layers is None:
+        n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                           if k.startswith("layers."))
     params = {
         "embedding": {"embedding": t2j(sd["embedding.weight"])},
         "out_hidden": _conv2d(sd, "output_conv.0"),
@@ -263,7 +270,7 @@ def convert_body_vq_checkpoint(ckpt: dict):
             "hand": convert_vqvae(gen["g_hand"])}
 
 
-def convert_body_pixel_checkpoint(ckpt: dict, n_layers: int = 15):
+def convert_body_pixel_checkpoint(ckpt: dict, n_layers: int | None = None):
     gen = ckpt["generator"] if "generator" in ckpt else ckpt
     return {
         "prior": convert_pixelcnn(gen["generator"], n_layers=n_layers),
