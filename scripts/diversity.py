@@ -25,6 +25,8 @@ def main():
     p.add_argument("--smplx_npz", default=None)
     p.add_argument("--render_mode", default="whole_body",
                    choices=["default", "whole_body", "face"])
+    p.add_argument("--tiny", action="store_true",
+                   help="random-init TINY body models (CI smoke; CPU-fast)")
     args = p.parse_args()
 
     import numpy as np
@@ -36,6 +38,16 @@ def main():
         pipe = Pipeline.from_torch_checkpoints(
             face_ckpt=args.face_ckpt, body_ckpt=args.body_ckpt,
             vq_ckpt=args.vq_ckpt)
+    elif args.tiny:
+        print("NOTE: tiny random weights (smoke mode)")
+        from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+        tiny_w2v = Wav2Vec2Config(
+            hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+            conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4)
+        pipe = Pipeline.create(0, wav2vec_cfg=tiny_w2v, code_num=64,
+                               embedding_dim=16, num_hiddens=32,
+                               pixel_dim=32, pixel_layers=2)
     else:
         print("NOTE: random weights")
         pipe = Pipeline.create(0)
