@@ -152,14 +152,20 @@ class AudioEncoder(nn.Module):
 class Wav2VecVQEncoder(nn.Module):
     """Wav2vec-fronted VQ encoder variant (vqvae_1d.py:37-63): wav2vec 2.0
     features -> project -> res/down stacks -> (B, T/4, num_hiddens).
-    Kept for surface parity; the released models use the MFCC encoder."""
+    Kept for surface parity; the released models use the MFCC encoder.
+
+    wav2vec_cfg=None uses the base-960h config; tests pass a tiny one."""
     num_hiddens: int = 1024
     num_residual_layers: int = 2
+    wav2vec_cfg: object = None
 
     @nn.compact
     def __call__(self, waveform, frame_num: int, train: bool = False):
-        from talkshow_tpu.models.wav2vec import Wav2Vec2Encoder
-        h = Wav2Vec2Encoder(name="audio_encoder")(waveform, frame_num, train)
+        from talkshow_tpu.models.wav2vec import (Wav2Vec2Config,
+                                                 Wav2Vec2Encoder)
+        cfg = self.wav2vec_cfg or Wav2Vec2Config()
+        h = Wav2Vec2Encoder(cfg, name="audio_encoder")(waveform, frame_num,
+                                                       train)
         h = ConvNormRelu(self.num_hiddens, leaky=True, name="project")(h, train)
         h = ResCNRStack(self.num_hiddens, self.num_residual_layers, leaky=True,
                         name="enc_1")(h, train)

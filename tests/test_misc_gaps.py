@@ -141,3 +141,21 @@ def test_from_torch_checkpoints_routing(tmp_path, monkeypatch):
     assert tags.count("vq") == 1       # VQ weights found inside body_ckpt
     assert tags.count("pixel") == 1
     assert tags.count("face") == 0
+
+
+def test_wav2vec_vq_encoder_forward(rng):
+    """Surface-parity wav2vec-fronted VQ encoder (vqvae_1d.py:37-63):
+    waveform -> (B, frames/4, num_hiddens) at the VQ token rate."""
+    from talkshow_tpu.models.vqvae import Wav2VecVQEncoder
+    from talkshow_tpu.models.wav2vec import Wav2Vec2Config
+
+    tiny = Wav2Vec2Config(hidden_size=32, num_layers=2, num_heads=4,
+                          intermediate_size=64, conv_dim=(16,) * 7,
+                          num_conv_pos_embeddings=16,
+                          num_conv_pos_embedding_groups=4)
+    enc = Wav2VecVQEncoder(num_hiddens=32, wav2vec_cfg=tiny)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    v = enc.init(jax.random.PRNGKey(0), wav, 28)
+    out = enc.apply(v, wav, 28)
+    assert out.shape == (2, 7, 32)  # two stride-2 downsamples: 28 -> 7
+    assert np.isfinite(np.asarray(out)).all()
