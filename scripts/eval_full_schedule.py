@@ -259,9 +259,14 @@ def main():
                     results["ls3dcg_random_init"]["per_clip"]["body_l1"])}
 
     # ---- rep6d probe results (scripts/rep6d_probe.py), when present ----
+    # default path derives the round tag from --out (EVAL_<tag>.json ->
+    # docs/<tag>_schedule/rep6d.json) so a future round never silently
+    # inlines a stale earlier-round probe
+    out_stem = os.path.splitext(os.path.basename(args.out))[0]
+    tag = out_stem[len("EVAL_"):] if out_stem.startswith("EVAL_") else out_stem
     rep6d_path = args.rep6d_json or os.path.join(
         os.path.dirname(os.path.abspath(args.out)),
-        "docs", "r05_schedule", "rep6d.json")
+        "docs", f"{tag}_schedule", "rep6d.json")
     if os.path.exists(rep6d_path):
         results["rep6d"] = json.load(open(rep6d_path))
 

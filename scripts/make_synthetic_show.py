@@ -198,12 +198,18 @@ def main():
     args = p.parse_args()
 
     if args.only_extra_test:
-        rng = np.random.default_rng(args.seed + 20_000)
         for si, sp in enumerate(SPEAKERS):
             tdir = os.path.join(args.root, sp, "vid1", "test")
             have = len([d for d in os.listdir(tdir)
                         if d.startswith("clip")]) if os.path.isdir(tdir) else 0
             for ci in range(have, have + args.only_extra_test):
+                # Seed per (speaker, ABSOLUTE clip index): a second append
+                # with the same --seed continues with fresh clips instead
+                # of restarting the stream and duplicating the first
+                # append's content (that trap bit the r05 split growth —
+                # duplicated eval clips silently deflate bootstrap
+                # variance).  Same (seed, tree state) stays reproducible.
+                rng = np.random.default_rng([args.seed + 20_000, si, ci])
                 # fixed length (matches the original test clips): every
                 # distinct clip length costs a fresh jit compile at eval
                 frames = int(args.eval_seconds * FPS)

@@ -55,12 +55,14 @@ class ShowDataset:
                   generate_length: int = 88, fps: int = 30,
                   audio_sr: int = 22000, limit: int | None = None,
                   convert_to_6d: bool = False):
-        """Walk the SHOW layout and preprocess every clip of `split`."""
-        if cache_pkl and os.path.isfile(cache_pkl):
-            with open(cache_pkl, "rb") as f:
-                clips = pickle.load(f)
-            return cls(clips, generate_length)
+        """Walk the SHOW layout and preprocess every clip of `split`.
 
+        The pickle cache is keyed by a signature of the discovered clip
+        tree + featurization args, so growing the split (or switching
+        feat/6d) invalidates it automatically — no manual cache-tag bump
+        needed (a stale 4-clip cache once silently shrank the eval
+        battery; see CLAUDE.md).  Legacy bare-list pickles (no signature)
+        are rebuilt."""
         jobs = []
         for speaker in speakers:
             sp_dir = os.path.join(data_root, speaker)
@@ -79,6 +81,19 @@ class ShowDataset:
                                      os.path.join(cdir, wavs[0])))
         if limit:
             jobs = jobs[:limit]
+
+        import hashlib
+        sig = hashlib.sha1(repr(
+            (sorted(j[1] for j in jobs), feat, fps, audio_sr,
+             convert_to_6d)).encode()).hexdigest()
+        if cache_pkl and os.path.isfile(cache_pkl):
+            with open(cache_pkl, "rb") as f:
+                cached = pickle.load(f)
+            if isinstance(cached, dict) and cached.get("sig") == sig:
+                return cls(cached["clips"], generate_length)
+            print(f"[dataset] cache {cache_pkl} is stale "
+                  f"(tree/featurization changed) — rebuilding")
+
         # threaded preprocessing: the native featurizer releases the GIL
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as ex:
@@ -89,7 +104,7 @@ class ShowDataset:
         clips = [c for c in clips if c is not None]
         if cache_pkl:
             with open(cache_pkl, "wb") as f:
-                pickle.dump(clips, f)
+                pickle.dump({"sig": sig, "clips": clips}, f)
         return cls(clips, generate_length)
 
     # ------------------------------------------------------------------

@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from talkshow_tpu.models.vqvae import AE
-from talkshow_tpu.ops.pose import C_INDEX_3D
+from talkshow_tpu.ops.pose import C_INDEX_3D, C_INDEX_6D
 
 
 def frechet_distance(feats_a: jnp.ndarray, feats_b: jnp.ndarray,
@@ -105,9 +105,21 @@ class FGDEvaluator:
         self.audio_beats = []
 
     def extract(self, poses: jnp.ndarray) -> jnp.ndarray:
-        """Conv-channel poses (B, T, C) -> features (B, T/4, embed)."""
-        if poses.shape[-1] > 129:
+        """Poses (B, T, C) -> features (B, T/4, embed).
+
+        Accepts either full-width poses (165 for the 3d layout, 330 for
+        6d) — sliced down to the conv channels here — or already-sliced
+        conv-channel poses (129 / 258).  Widths are matched exactly: the
+        old `>129 -> C_INDEX_3D` heuristic silently mis-sliced 258-wide
+        6d conv poses with 3d indices."""
+        c = poses.shape[-1]
+        if c == 330:
+            poses = poses[..., C_INDEX_6D]
+        elif c == 165:
             poses = poses[..., C_INDEX_3D]
+        # any other width is taken as already conv-channel / feature input
+        # (129 / 258 / synthetic test widths); a genuine mismatch surfaces
+        # as a shape error in the AE rather than silently wrong features.
         return self.ae.apply(self.ae_vars, poses, method=AE.encode)
 
     def push_samples(self, generated: jnp.ndarray, real: jnp.ndarray):

@@ -79,9 +79,13 @@ def batch_lvd(gt_kps: jnp.ndarray, pr_kps: jnp.ndarray,
                             axis=-1))
 
 
-def clip_ci(vals, n_boot: int = 200, seed: int = 0) -> dict:
+def clip_ci(vals, n_boot: int = 200, seed: int = 0,
+            return_draws: bool = False) -> dict:
     """Bootstrap CI of a per-clip scalar metric's mean (clips = independent
-    unit, same rationale as FGDEvaluator.bootstrap_fgd)."""
+    unit, same rationale as FGDEvaluator.bootstrap_fgd).  `return_draws`
+    adds the raw bootstrap means under "draws" so downstream statistics
+    (paired_clip_gap) consume the exact resamples behind the percentiles
+    instead of re-deriving them from a second rng."""
     vals = np.asarray(vals, dtype=float)
     if vals.size < 2:
         raise ValueError("clip_ci needs >= 2 per-clip values")
@@ -89,9 +93,12 @@ def clip_ci(vals, n_boot: int = 200, seed: int = 0) -> dict:
     idx = rng.integers(0, vals.size, size=(n_boot, vals.size))
     draws = vals[idx].mean(axis=1)
     lo, hi = np.percentile(draws, [2.5, 97.5])
-    return {"mean": float(draws.mean()), "std": float(draws.std()),
-            "p2_5": float(lo), "p97_5": float(hi),
-            "n_boot": n_boot, "n_clips": int(vals.size)}
+    out = {"mean": float(draws.mean()), "std": float(draws.std()),
+           "p2_5": float(lo), "p97_5": float(hi),
+           "n_boot": n_boot, "n_clips": int(vals.size)}
+    if return_draws:
+        out["draws"] = draws
+    return out
 
 
 def paired_clip_gap(vals_a, vals_b, n_boot: int = 200, seed: int = 0) -> dict:
@@ -105,12 +112,12 @@ def paired_clip_gap(vals_a, vals_b, n_boot: int = 200, seed: int = 0) -> dict:
         raise ValueError(f"arms differ in clip count: {vals_a.shape} vs "
                          f"{vals_b.shape} — not the same clip walk")
     diff = vals_a - vals_b
-    out = clip_ci(diff, n_boot=n_boot, seed=seed)
+    out = clip_ci(diff, n_boot=n_boot, seed=seed, return_draws=True)
     # fraction of bootstrap resamples with mean gap < 0 (same convention as
-    # fgd.paired_fgd_gap) plus the raw per-clip win rate
-    rng = np.random.default_rng(seed)
-    idx = rng.integers(0, diff.size, size=(n_boot, diff.size))
-    out["frac_a_lt_b"] = float(np.mean(diff[idx].mean(axis=1) < 0))
+    # fgd.paired_fgd_gap) — computed on the SAME draws as the percentiles
+    # above, plus the raw per-clip win rate
+    draws = out.pop("draws")
+    out["frac_a_lt_b"] = float(np.mean(draws < 0))
     out["clip_win_rate_a"] = float(np.mean(diff < 0))
     return out
 

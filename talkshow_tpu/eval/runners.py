@@ -148,6 +148,10 @@ def eval_ls3dcg(gen, gen_vars, ae, ae_vars, dataset) -> dict:
                                             - conv_gt[:, BODY_DIM:]))))
         fgd_eval.push_samples(jnp.asarray(pred[None, :, 103:]),
                               jnp.asarray(conv_gt)[None])
+    if not jaw_l1:
+        raise ValueError(
+            "eval_ls3dcg: no usable clips — every clip had <8 aligned "
+            "audio/pose frames (generator pools /8 along time)")
     fgd, feat_mae = fgd_eval.get_scores()
     out = {"jaw_l1": float(np.mean(jaw_l1)), "exp_mse": float(np.mean(exp_mse)),
            "body_l1": float(np.mean(body_l1)),

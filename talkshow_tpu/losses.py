@@ -28,6 +28,9 @@ def kl_loss(mu, logvar, tolerance=None, mul: float = 1.0):
     Dead upstream (only a commented-out s2glayers.py:333 call) but kept
     formula-exact.
     """
+    if mu.ndim != 2:
+        raise ValueError(f"kl_loss expects (B, D) inputs (the reference "
+                         f"sums over axis 1), got shape {mu.shape}")
     kld = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar), axis=1)
     if tolerance is not None:
         floor = tolerance * mul * mu.shape[1] / 64.0

@@ -140,12 +140,15 @@ def host_cache_dir(base: str) -> str:
     import hashlib
     import platform
 
-    flags = ""
     try:
         with open("/proc/cpuinfo") as f:
             flags = next((ln for ln in f if ln.startswith("flags")), "")
     except OSError:
-        pass
+        # No readable ISA fingerprint (masked /proc in a hardened
+        # container): fall back to the hostname so distinct machines can
+        # never collide on one cache subtree.  Weaker sharing (a renamed
+        # host recompiles), never unsafe.
+        flags = "no-cpuinfo:" + platform.node()
     key = hashlib.sha1(
         (platform.machine() + flags).encode()).hexdigest()[:12]
     return os.path.join(base, f"host-{key}")

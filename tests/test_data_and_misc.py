@@ -59,7 +59,7 @@ def _write_clip(root, speaker, vid, split, name, frames=100, bad=False):
     return d
 
 
-def test_show_dataset_from_root(tmp_path):
+def test_show_dataset_from_root(tmp_path, monkeypatch):
     root = str(tmp_path)
     _write_clip(root, "oliver", "vid1", "train", "clip1")
     _write_clip(root, "conan", "vid2", "train", "clip2", frames=120)
@@ -67,10 +67,21 @@ def test_show_dataset_from_root(tmp_path):
                                cache_pkl=str(tmp_path / "cache.pkl"))
     assert len(ds.clips) == 2
     assert ds.clips[0].poses.shape[1] == 165
-    # cache reload path
-    ds2 = ShowDataset.from_root(root, ["oliver"], "train",
+    # cache reload path: same tree + args -> served from the pickle
+    # (load_clip poisoned to prove no re-featurization happens)
+    real_load = ShowDataset.load_clip
+    monkeypatch.setattr(ShowDataset, "load_clip",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("cache miss")))
+    ds2 = ShowDataset.from_root(root, ["oliver", "conan"], "train",
                                 cache_pkl=str(tmp_path / "cache.pkl"))
     assert len(ds2.clips) == 2  # loaded from cache
+    # stale-cache detection: a different clip tree (fewer speakers) must
+    # REBUILD instead of silently serving the old 2-clip split
+    monkeypatch.setattr(ShowDataset, "load_clip", real_load)
+    ds3 = ShowDataset.from_root(root, ["oliver"], "train",
+                                cache_pkl=str(tmp_path / "cache.pkl"))
+    assert len(ds3.clips) == 1
 
 
 def test_preprocess_filter_and_split(tmp_path):

@@ -240,3 +240,31 @@ def test_eval_ls3dcg_runner():
     for k in ("jaw_l1", "exp_mse", "body_l1", "hand_l1", "fgd"):
         assert np.isfinite(res[k]), k
     assert res["num_clips"] == 2
+
+
+def test_fgd_extract_width_dispatch(rng):
+    """extract slices full-width poses by the layout-matched index set:
+    165 -> C_INDEX_3D, 330 -> C_INDEX_6D (the old >129 heuristic sliced
+    6d inputs with 3d indices), and passes conv-channel widths through."""
+    from talkshow_tpu.ops.pose import C_INDEX_3D, C_INDEX_6D
+
+    captured = {}
+
+    class _Spy:
+        def apply(self, vars_, x, method=None):
+            captured["x"] = np.asarray(x)
+            return x[..., None, :]
+
+    ev = FGDEvaluator(_Spy(), {})
+    full6d = rng.standard_normal((1, 8, 330)).astype(np.float32)
+    ev.extract(jnp.asarray(full6d))
+    np.testing.assert_array_equal(captured["x"], full6d[..., C_INDEX_6D])
+
+    full3d = rng.standard_normal((1, 8, 165)).astype(np.float32)
+    ev.extract(jnp.asarray(full3d))
+    np.testing.assert_array_equal(captured["x"], full3d[..., C_INDEX_3D])
+
+    for width in (129, 258):   # already conv-channel: untouched
+        conv = rng.standard_normal((1, 8, width)).astype(np.float32)
+        ev.extract(jnp.asarray(conv))
+        np.testing.assert_array_equal(captured["x"], conv)
